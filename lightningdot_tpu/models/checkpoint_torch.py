@@ -1,0 +1,220 @@
+"""PyTorch checkpoint -> JAX pytree key mapping.
+
+Loads the reference's released artifacts (LightningDot.pt, uniter-base.pt,
+bert-base-cased.pt, coco-ft.pt, flickr-ft.pt — README.md:89-97,
+bash/download_data.sh:12-18) into our parameter trees.
+
+Handled formats (load_biencoder_checkpoint, dvl/models/bi_encoder.py:737-752
+and eval_itm.py:97-107):
+  * fine-tune ``CheckpointState`` dicts — weights under ``model_dict`` with
+    ``txt_model.* / img_model.*`` prefixes;
+  * pre-train state dicts — every key prefixed ``bert.`` (the BiEncoder inside
+    BiEncoderForPretraining), stripped before mapping;
+  * raw tower state dicts (HF bert / UNITER) with optional ``bert.`` prefix
+    and historical ``gamma``/``beta`` LayerNorm names
+    (uniter_model/model/model.py:165-177).
+
+Linear weights are transposed torch [out,in] -> jax [in,out].
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .pt file into a flat {key: np.ndarray} dict."""
+    import torch
+
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model_dict" in sd:
+        sd = sd["model_dict"]
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.float().numpy()
+    return out
+
+
+def normalize_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip wrapper prefixes and remap gamma/beta -> weight/bias."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        if hasattr(v, "detach"):  # torch tensor
+            v = v.detach().cpu().float().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _lin(sd, prefix):
+    return {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def map_tower(sd: Mapping[str, np.ndarray], *, with_img: bool,
+              num_layers: int = 12, strict: bool = True) -> Dict[str, Any]:
+    """Map one tower's torch keys ('bert.*' + optional 'encode_proj.*').
+
+    Accepts the tower state dict of BertEncoder / UniterEncoder
+    (dvl/models/bi_encoder.py:76-196): the transformer under ``bert.`` and the
+    optional projection Sequential under ``encode_proj.{0,2,3}``.
+    """
+    sd = normalize_keys(sd)
+    # Tolerate a missing 'bert.' prefix (raw BertModel/UniterModel dumps).
+    if not any(k.startswith("bert.") for k in sd):
+        sd = {f"bert.{k}": v for k, v in sd.items()}
+
+    emb = "bert.embeddings"
+    tower: Dict[str, Any] = {
+        "embeddings": {
+            "word": sd[f"{emb}.word_embeddings.weight"],
+            "position": sd[f"{emb}.position_embeddings.weight"],
+            "token_type": sd[f"{emb}.token_type_embeddings.weight"],
+            "ln": _ln(sd, f"{emb}.LayerNorm"),
+        },
+    }
+
+    layers = []
+    for i in range(num_layers):
+        p = f"bert.encoder.layer.{i}"
+        layers.append({
+            "attn": {
+                "query": _lin(sd, f"{p}.attention.self.query"),
+                "key": _lin(sd, f"{p}.attention.self.key"),
+                "value": _lin(sd, f"{p}.attention.self.value"),
+                "output": _lin(sd, f"{p}.attention.output.dense"),
+                "ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            },
+            "mlp": {
+                "intermediate": _lin(sd, f"{p}.intermediate.dense"),
+                "output": _lin(sd, f"{p}.output.dense"),
+                "ln": _ln(sd, f"{p}.output.LayerNorm"),
+            },
+        })
+    # stack along layer axis for lax.scan
+    tower["layers"] = _stack_trees(layers)
+
+    if f"bert.pooler.dense.weight" in sd:
+        tower["pooler"] = _lin(sd, "bert.pooler.dense")
+
+    if with_img:
+        ie = "bert.img_embeddings"
+        tower["img_embeddings"] = {
+            "img_linear": _lin(sd, f"{ie}.img_linear"),
+            "img_ln": _ln(sd, f"{ie}.img_layer_norm"),
+            "pos_linear": _lin(sd, f"{ie}.pos_linear"),
+            "pos_ln": _ln(sd, f"{ie}.pos_layer_norm"),
+            "mask_embedding": sd[f"{ie}.mask_embedding.weight"],
+            "ln": _ln(sd, f"{ie}.LayerNorm"),
+        }
+
+    if "encode_proj.0.weight" in sd:
+        tower["proj"] = {
+            "fc1": _lin(sd, "encode_proj.0"),
+            "ln": _ln(sd, "encode_proj.2"),
+            "fc2": _lin(sd, "encode_proj.3"),
+        }
+    return tower
+
+
+def _stack_trees(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def split_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    pl = prefix + "."
+    return {k[len(pl):]: v for k, v in sd.items() if k.startswith(pl)}
+
+
+def map_bi_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
+                   ) -> Dict[str, Any]:
+    """Map a full BiEncoder state dict -> {'txt_model','img_model'} tree.
+
+    Handles both fine-tune ('txt_model.*'/'img_model.*') and pre-train
+    ('bert.txt_model.*') layouts (bi_encoder.py:737-752).
+    """
+    sd = normalize_keys(sd)
+    if not any(k.startswith(("txt_model.", "img_model.")) for k in sd):
+        # pre-train checkpoint: keys under 'bert.' (strip, drop heads)
+        sd = {k[len("bert."):]: v for k, v in sd.items()
+              if k.startswith("bert.")}
+    return {
+        "txt_model": map_tower(split_prefix(sd, "txt_model"), with_img=False,
+                               num_layers=num_layers),
+        "img_model": map_tower(split_prefix(sd, "img_model"), with_img=True,
+                               num_layers=num_layers),
+    }
+
+
+def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
+                       ) -> Dict[str, Any]:
+    """Map a BiEncoderForPretraining state dict -> {'bert', 'heads'}."""
+    sd = normalize_keys(sd)
+    bert = {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
+    heads: Dict[str, Any] = {}
+    if "cls.predictions.transform.dense.weight" in sd:
+        heads["mlm"] = {
+            "transform": {
+                "dense": _lin(sd, "cls.predictions.transform.dense"),
+                "ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
+            },
+            "bias": sd["cls.predictions.bias"],
+        }
+    if "feat_regress.net.0.weight" in sd:
+        heads["feat_regress"] = {
+            "dense": _lin(sd, "feat_regress.net.0"),
+            "ln": _ln(sd, "feat_regress.net.2"),
+            "bias": sd["feat_regress.bias"],
+        }
+    if "region_classifier.net.0.weight" in sd:
+        heads["region_classifier"] = {
+            "dense": _lin(sd, "region_classifier.net.0"),
+            "ln": _ln(sd, "region_classifier.net.2"),
+            "out": _lin(sd, "region_classifier.net.3"),
+        }
+    if "itm_output.weight" in sd:
+        heads["itm_output"] = _lin(sd, "itm_output")
+    return {"bert": map_bi_encoder(bert, num_layers=num_layers),
+            "heads": heads}
+
+
+def map_cross_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
+                      ) -> Dict[str, Any]:
+    """Map UniterForImageTextRetrieval (uniter_model/model/itm.py:12-27)."""
+    sd = normalize_keys(sd)
+    tree = {"uniter": map_tower(sd, with_img=True, num_layers=num_layers)}
+    if "itm_output.weight" in sd:
+        tree["itm_output"] = _lin(sd, "itm_output")
+    if "rank_output.weight" in sd:
+        tree["rank_output"] = _lin(sd, "rank_output")
+    elif "itm_output.weight" in sd:
+        # init_output(): rank head seeded from itm head row 1 (itm.py:23-26)
+        tree["rank_output"] = {
+            "kernel": tree["itm_output"]["kernel"][:, 1:2],
+            "bias": tree["itm_output"]["bias"][1:2],
+        }
+    return tree
+
+
+def load_biencoder_checkpoint(path: str, *, num_layers: int = 12
+                              ) -> Dict[str, Any]:
+    """File -> BiEncoder params tree (any supported layout)."""
+    sd = load_torch_state_dict(path)
+    logger.info("loaded %d tensors from %s", len(sd), path)
+    return map_bi_encoder(sd, num_layers=num_layers)

@@ -1,0 +1,94 @@
+"""Unit tests for fused ops vs reference math (and torch goldens)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lightningdot_tpu.ops import gelu, layer_norm, multi_head_attention
+from lightningdot_tpu.ops.attention import _attention_math
+
+
+def test_gelu_matches_torch_erf_gelu(rng):
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    ours = np.asarray(gelu(jnp.asarray(x)))
+    theirs = F.gelu(torch.from_numpy(x)).numpy()  # erf form by default
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.standard_normal((4, 7, 96)).astype(np.float32)
+    scale = rng.standard_normal(96).astype(np.float32)
+    bias = rng.standard_normal(96).astype(np.float32)
+    ours = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(scale),
+                                 jnp.asarray(bias)))
+    theirs = F.layer_norm(torch.from_numpy(x), (96,),
+                          torch.from_numpy(scale), torch.from_numpy(bias),
+                          eps=1e-12).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_layer_norm_grad_matches_autodiff(rng):
+    x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+
+    def f_custom(x, s, b):
+        return jnp.sum(jnp.sin(layer_norm(x, s, b)))
+
+    def f_ref(x, s, b):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-12) * s + b
+        return jnp.sum(jnp.sin(y))
+
+    g1 = jax.grad(f_custom, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_attention_matches_torch(rng):
+    b, h, s, d = 2, 4, 16, 8
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    mask = (rng.random((b, s)) > 0.2).astype(np.float32)
+    bias = (1.0 - mask)[:, None, None, :] * -10000.0
+
+    ours = np.asarray(multi_head_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias)))
+
+    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    scores = tq @ tk.transpose(-1, -2) / np.sqrt(d)
+    scores = scores + torch.from_numpy(bias)
+    probs = torch.softmax(scores, dim=-1)
+    theirs = (probs @ tv).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_attention_grads_flow(rng):
+    b, h, s, d = 1, 2, 8, 4
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    bias = jnp.zeros((b, 1, 1, s), jnp.float32)
+
+    def loss(q):
+        return jnp.sum(multi_head_attention(q, q, q, bias) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(_attention_math(q, q, q, bias, 1.0 / d ** 0.5) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(q)),
+                               np.asarray(jax.grad(loss_ref)(q)), atol=1e-4)
+
+
+def test_attention_dropout_training_path(rng):
+    b, h, s, d = 1, 2, 8, 4
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    bias = jnp.zeros((b, 1, 1, s), jnp.float32)
+    out = multi_head_attention(q, q, q, bias, dropout_rate=0.5,
+                               dropout_rng=jax.random.PRNGKey(0),
+                               deterministic=False)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
