@@ -1,0 +1,154 @@
+"""Region-feature database (DetectFeatLmdb parity, data.py:44-125).
+
+Directory contract mirrors the reference image DBs:
+
+  <img_dir>/feat_th{conf}_max{max_bb}_min{min_bb}.ldkv     (or feat_numbb{n})
+  <img_dir>/nbb_th{conf}_max{max_bb}_min{min_bb}.json      (fname -> nbb)
+
+Each record value is an .npz payload with at least ``features`` [nbb, 2048]
+and ``norm_bb`` [nbb, 6] (plus ``conf`` / ``soft_labels`` when present), the
+same arrays the reference stores (data.py:110-122). fp16 payloads are
+upcast on read (data.py:23-27).
+
+The 7-d position feature is derived exactly as the reference does:
+``img_bb = cat([bb, bb[:,4]*bb[:,5]])`` (data.py:247-251).
+"""
+from __future__ import annotations
+
+import io
+import json
+from collections import defaultdict
+from os.path import exists, join
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from lightningdot_tpu.data.kvstore import KVReader, KVWriter
+
+
+def compute_num_bb(confs: np.ndarray, conf_th: float, min_bb: int,
+                   max_bb: int) -> int:
+    """data.py:30-33."""
+    num_bb = max(min_bb, int((confs > conf_th).sum()))
+    return min(max_bb, num_bb)
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+class DetectFeatDb:
+    """Read-side feature DB."""
+
+    def __init__(self, img_dir: str, conf_th: float = 0.2, max_bb: int = 100,
+                 min_bb: int = 10, num_bb: int = 36):
+        self.img_dir = img_dir
+        self.conf_th = conf_th
+        self.max_bb = max_bb
+        self.min_bb = min_bb
+        if conf_th == -1:
+            db_name = f"feat_numbb{num_bb}"
+            self.name2nbb: Dict[str, int] = defaultdict(lambda: num_bb)
+        else:
+            db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+            nbb_file = join(img_dir,
+                            f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json")
+            if exists(nbb_file):
+                with open(nbb_file) as f:
+                    self.name2nbb = json.load(f)
+            else:
+                self.name2nbb = None
+        self.db = KVReader(join(img_dir, db_name + ".ldkv"))
+        if self.name2nbb is None:
+            self.name2nbb = self._compute_nbb()
+
+    def _compute_nbb(self) -> Dict[str, int]:
+        """data.py:76-91: derive nbb from stored confidences."""
+        name2nbb = {}
+        for fname in self.db.keys():
+            dump = self._load(fname)
+            name2nbb[fname] = compute_num_bb(dump["conf"], self.conf_th,
+                                             self.min_bb, self.max_bb)
+        return name2nbb
+
+    def _load(self, file_name: str) -> Dict[str, np.ndarray]:
+        raw = self.db[file_name]
+        with io.BytesIO(bytes(raw)) as reader:
+            dump = np.load(reader, allow_pickle=True)
+            out = {k: np.asarray(dump[k]) for k in dump.files}
+        return {k: (a.astype(np.float32) if a.dtype == np.float16 else a)
+                for k, a in out.items()}
+
+    def get_dump(self, file_name: str) -> Dict[str, np.ndarray]:
+        """All arrays truncated to nbb (data.py:96-108; used by MRC)."""
+        nbb = self.name2nbb[file_name]
+        dump = self._load(file_name)
+        return {k: arr[:nbb, ...] for k, arr in dump.items()}
+
+    def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (img_feat [nbb, d], img_bb [nbb, 6]) (data.py:110-122)."""
+        nbb = self.name2nbb[file_name]
+        dump = self._load(file_name)
+        return (dump["features"][:nbb].astype(np.float32),
+                dump["norm_bb"][:nbb].astype(np.float32))
+
+    def __contains__(self, file_name: str) -> bool:
+        return file_name in self.db
+
+    def get_img_feat(self, fname: str
+                     ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """-> (feat, 7-d pos feat, nbb) (data.py:247-251)."""
+        img_feat, bb = self[fname]
+        img_bb = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
+        return img_feat, img_bb.astype(np.float32), img_feat.shape[0]
+
+
+class ImageDbGroup:
+    """Path-keyed cache of DetectFeatDb (ImageLmdbGroup, data.py:319-333)."""
+
+    def __init__(self, conf_th: float, max_bb: int, min_bb: int, num_bb: int,
+                 compress: bool = True):
+        del compress  # ldkv payloads are already npz-compressed
+        self.path2imgdb: Dict[str, DetectFeatDb] = {}
+        self.conf_th = conf_th
+        self.max_bb = max_bb
+        self.min_bb = min_bb
+        self.num_bb = num_bb
+
+    def __getitem__(self, path: str) -> DetectFeatDb:
+        img_db = self.path2imgdb.get(path)
+        if img_db is None:
+            img_db = DetectFeatDb(path, self.conf_th, self.max_bb,
+                                  self.min_bb, self.num_bb)
+            self.path2imgdb[path] = img_db
+        return img_db
+
+
+def write_feat_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
+                  conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
+                  num_bb: int = 36) -> None:
+    """Prepro-side writer (parity with scripts/convert_imgdir.py outputs).
+
+    records: fname -> {features, norm_bb, conf[, soft_labels]}.
+    """
+    import os
+
+    os.makedirs(img_dir, exist_ok=True)
+    if conf_th == -1:
+        db_name = f"feat_numbb{num_bb}"
+    else:
+        db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+    name2nbb = {}
+    with KVWriter(join(img_dir, db_name + ".ldkv")) as w:
+        for fname, arrays in records.items():
+            w.put(fname, _npz_bytes(**arrays))
+            if conf_th != -1:
+                name2nbb[fname] = compute_num_bb(
+                    np.asarray(arrays["conf"]), conf_th, min_bb, max_bb)
+    if conf_th != -1:
+        nbb_file = join(img_dir,
+                        f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json")
+        with open(nbb_file, "w") as f:
+            json.dump(name2nbb, f)

@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's parallelism is data-parallel only (SURVEY.md §2c): Horovod
+one-process-per-GPU with manual flat-buffer grad allreduce
+(pretrain.py:449-451). TPU-native equivalent: a 1-D ``Mesh(('dp',))`` over
+all devices; batches sharded on the leading axis; gradients reduced by XLA
+automatically because parameters are replicated.
+
+Multi-host: call :func:`initialize_distributed` once per process (maps to
+``jax.distributed.initialize``), then the same mesh code spans hosts with
+collectives riding ICI/DCN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (replaces hvd.init(), e.g. pretrain.py:247)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    """Rank of this host (replaces hvd.rank() at host granularity)."""
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """dvl/utils.py:187-188."""
+    return jax.process_index() == 0
+
+
+@functools.lru_cache(maxsize=None)
+def data_parallel_mesh(dp_size: int = 0) -> Mesh:
+    """1-D dp mesh over the first ``dp_size`` devices (0 = all)."""
+    devices = jax.devices()
+    if dp_size and dp_size > 0:
+        devices = devices[:dp_size]
+    return Mesh(np.asarray(devices), (DP_AXIS,))
+
+
+def get_mesh(dp_size: int = 0) -> Mesh:
+    return data_parallel_mesh(dp_size)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across dp."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a host batch with leading-axis dp sharding.
+
+    Arrays whose leading dim is not divisible by the mesh size are
+    replicated instead (e.g. scalar aux fields).
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(DP_AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """device_put a pytree fully replicated over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

@@ -1,0 +1,78 @@
+"""ldkv store + DB layers."""
+import numpy as np
+import pytest
+
+from lightningdot_tpu.data.kvstore import KVReader, KVWriter, native_lib
+from lightningdot_tpu.data.feat_db import DetectFeatDb
+from lightningdot_tpu.data.txt_db import TxtTokDb, get_ids_and_lens
+from lightningdot_tpu.data.synth import make_synth_dataset
+
+
+def test_kv_roundtrip(tmp_path):
+    path = str(tmp_path / "test.ldkv")
+    items = {f"key_{i}": bytes([i % 256]) * (i + 1) for i in range(100)}
+    KVWriter.write_dict(path, items.items())
+
+    for prefer_native in (True, False):
+        r = KVReader(path, prefer_native=prefer_native)
+        assert len(r) == 100
+        for k, v in items.items():
+            assert bytes(r[k]) == v
+        assert r.get("missing") is None
+        assert "key_5" in r and "nope" not in r
+        assert sorted(r.keys()) == sorted(items)
+        r.close()
+
+
+def test_native_lib_builds():
+    lib = native_lib()
+    assert lib is not None, "native ldkv library should build (g++ available)"
+
+
+def test_native_and_python_agree(tmp_path):
+    path = str(tmp_path / "agree.ldkv")
+    rng = np.random.default_rng(0)
+    items = [(f"k{i}", rng.bytes(rng.integers(1, 2000)))
+             for i in range(500)]
+    KVWriter.write_dict(path, items)
+    rn = KVReader(path, prefer_native=True)
+    rp = KVReader(path, prefer_native=False)
+    assert rn.native
+    for k, v in items:
+        assert bytes(rn[k]) == bytes(rp[k]) == v
+
+
+def test_synth_dataset_contracts(tmp_path):
+    txt_dir, img_dir = make_synth_dataset(str(tmp_path), n_imgs=4,
+                                          txts_per_img=2, img_dim=64,
+                                          min_bb=5, max_bb=12)
+    feat_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=12, min_bb=5)
+    fname = "synth_000000.npz"
+    feat, bb = feat_db[fname]
+    nbb = feat_db.name2nbb[fname]
+    assert feat.shape == (nbb, 64) and feat.dtype == np.float32
+    assert bb.shape == (nbb, 6)
+    f, pos, n = feat_db.get_img_feat(fname)
+    assert pos.shape == (nbb, 7)
+    np.testing.assert_allclose(pos[:, 6], bb[:, 4] * bb[:, 5], rtol=1e-5)
+
+    txt_db = TxtTokDb(txt_dir, max_txt_len=60)
+    lens, ids = get_ids_and_lens(txt_db)
+    assert len(ids) == 8
+    ex = txt_db[ids[0]]
+    assert ex["img_fname"].startswith("synth_")
+    combined = txt_db.combine_inputs(ex["input_ids"])
+    assert combined[0] == 101 and combined[-1] == 102
+    assert txt_db.txt2img[ids[0]] == ex["img_fname"]
+    assert ids[0] in txt_db.img2txts[ex["img_fname"]]
+
+
+def test_txt_db_rank_sharding(tmp_path):
+    txt_dir, _ = make_synth_dataset(str(tmp_path), n_imgs=4, txts_per_img=4,
+                                    img_dim=8, min_bb=5, max_bb=8)
+    full = TxtTokDb(txt_dir, max_txt_len=-1)
+    shards = [TxtTokDb(txt_dir, max_txt_len=-1, rank=r, world_size=4).ids
+              for r in range(4)]
+    # strided, disjoint, covering (data.py:185-187)
+    assert sorted(sum(shards, [])) == sorted(full.ids)
+    assert shards[0] == full.ids[0::4]
