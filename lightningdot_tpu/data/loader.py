@@ -1,0 +1,191 @@
+"""Batching, task mixing, and device prefetch.
+
+Replaces torch DataLoader + uniter_model/data/loader.py:
+
+  * :class:`DataLoader` — index shuffling + collate with a background-thread
+    prefetch queue (the host-side half of PrefetchLoader).
+  * :class:`DevicePrefetcher` — double-buffered ``jax.device_put``: batch
+    N+1 is transferred while batch N computes (TPU equivalent of the CUDA
+    side-stream copy, loader.py:83-138).
+  * :class:`MetaLoader` — multi-task round-robin with per-task mix ratios
+    (loader.py:13-53). Task choice uses a *seeded* RNG shared by
+    construction across hosts, replacing the ``any_broadcast`` sync
+    (loader.py:39-43): same seed -> same task sequence on every host, no
+    collective needed.
+  * :class:`TokenBucketSampler` — token-budget batching
+    (uniter_model/data/sampler.py:11-56 semantics).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class TokenBucketSampler:
+    """sampler.py:11-56: shuffle -> bucket -> sort by len -> fill to budget."""
+
+    def __init__(self, lens: Sequence[int], bucket_size: int, batch_size: int,
+                 droplast: bool = False, size_multiple: int = 8,
+                 seed: Optional[int] = None):
+        self._lens = lens
+        self._max_tok = batch_size
+        self._bucket_size = bucket_size
+        self._droplast = droplast
+        self._size_mul = size_multiple
+        self._rng = random.Random(seed)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        ids = list(range(len(self._lens)))
+        self._rng.shuffle(ids)
+        buckets = [sorted(ids[i:i + self._bucket_size],
+                          key=lambda i: self._lens[i], reverse=True)
+                   for i in range(0, len(ids), self._bucket_size)]
+        batches = []
+        for bucket in buckets:
+            max_len = 0
+            batch_indices: List[int] = []
+            for st in range(0, len(bucket), self._size_mul):
+                indices = bucket[st:st + self._size_mul]
+                max_len = max(max_len, max(self._lens[i] for i in indices))
+                if (max_len * (len(batch_indices) + self._size_mul)
+                        > self._max_tok):
+                    if not batch_indices:
+                        raise ValueError(
+                            "max_tokens too small / max_seq_len too long")
+                    batches.append(batch_indices)
+                    batch_indices = list(indices)
+                else:
+                    batch_indices.extend(indices)
+            if not self._droplast and batch_indices:
+                batches.append(batch_indices)
+        self._rng.shuffle(batches)
+        return iter(batches)
+
+
+class DataLoader:
+    """Minimal map-style loader: sampler/batching + threaded collate."""
+
+    def __init__(self, dataset, batch_size: Optional[int] = None,
+                 shuffle: bool = False, drop_last: bool = False,
+                 collate_fn: Callable = None, sampler=None,
+                 seed: Optional[int] = None, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or (lambda x: x)
+        self.sampler = sampler
+        self._rng = random.Random(seed)
+        self._prefetch = prefetch
+
+    def _batches(self) -> Iterator[List[int]]:
+        if self.sampler is not None:
+            yield from iter(self.sampler)
+            return
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                continue
+            yield chunk
+
+    def __len__(self) -> int:
+        if self.sampler is not None:
+            raise ValueError("length unknown with a token-bucket sampler")
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        _SENTINEL = object()
+
+        def worker():
+            try:
+                for batch_idx in self._batches():
+                    items = [self.dataset[i] for i in batch_idx]
+                    q.put(self.collate_fn(items))
+            except BaseException as e:  # propagate into consumer
+                q.put(e)
+                return
+            q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class DevicePrefetcher:
+    """Wrap a host-batch iterable; device_put one batch ahead."""
+
+    def __init__(self, loader, put: Callable[[Any], Any]):
+        self.loader = loader
+        self.put = put
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        it = iter(self.loader)
+        try:
+            nxt = self.put(next(it))
+        except StopIteration:
+            return
+        for host_batch in it:
+            cur, nxt = nxt, self.put(host_batch)
+            yield cur
+        yield nxt
+
+
+class MetaLoader:
+    """Multi-task sampling loader (loader.py:13-53).
+
+    loaders: name -> loader or (loader, ratio). The task is re-drawn every
+    ``accum_steps`` steps from a seeded RNG (host-synchronized by seed).
+    """
+
+    def __init__(self, loaders: Dict[str, Any], accum_steps: int = 1,
+                 seed: int = 0):
+        self.name2loader = {}
+        self.name2iter = {}
+        self.sampling_pools: List[str] = []
+        for n, l in loaders.items():
+            if isinstance(l, tuple):
+                l, r = l
+            else:
+                r = 1
+            self.name2loader[n] = l
+            self.name2iter[n] = iter(l)
+            self.sampling_pools.extend([n] * r)
+        self.accum_steps = accum_steps
+        self.step = 0
+        self._rng = random.Random(seed)
+
+    def __iter__(self):
+        """Runs indefinitely (loader.py:35-53)."""
+        task = self.sampling_pools[0]
+        while True:
+            if self.step % self.accum_steps == 0:
+                task = self._rng.choice(self.sampling_pools)
+            self.step += 1
+            iter_ = self.name2iter[task]
+            try:
+                batch = next(iter_)
+            except StopIteration:
+                iter_ = iter(self.name2loader[task])
+                batch = next(iter_)
+                self.name2iter[task] = iter_
+            yield task, batch

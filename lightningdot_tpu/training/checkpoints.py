@@ -1,0 +1,111 @@
+"""Checkpoint save/load.
+
+Two formats, mirroring the reference (SURVEY.md §5):
+
+  * fine-tune ``CheckpointState`` (dvl/trainer.py:18-63): model / optimizer /
+    scheduler-step / offset / epoch — stored here as one .npz of flattened
+    pytree leaves + a JSON manifest (``biencoder.{best,last,N}.ckpt``);
+  * pre-train ``ModelSaver`` (uniter_model/utils/save.py:55-76):
+    ``model_step_{N}`` + ``train_state_{N}`` with auto-resume discovery of
+    the newest step (pretrain.py:906-917).
+
+PyTorch ``.pt`` checkpoints are loaded through
+lightningdot_tpu.models.checkpoint_torch.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+SEP = "/"
+
+
+def flatten_tree(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_like(template, flat: Dict[str, np.ndarray]):
+    paths_and_leaves = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_and_leaves[0]:
+        key = SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing parameter {key}")
+        leaves.append(flat[key])
+    return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
+
+
+def save_checkpoint(path: str, *, model, optimizer=None, step: int = 0,
+                    offset: int = 0, epoch: int = 0,
+                    extra: Optional[dict] = None) -> str:
+    """Write <path>.npz + <path>.json (CheckpointState equivalent)."""
+    arrays = {f"model{SEP}{k}": v for k, v in flatten_tree(model).items()}
+    if optimizer is not None:
+        arrays.update({f"opt{SEP}{k}": v
+                       for k, v in flatten_tree(optimizer).items()})
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path + ".npz", **arrays)
+    meta = {"step": step, "offset": offset, "epoch": epoch,
+            "extra": extra or {}}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_checkpoint(path: str, *, model_template, optimizer_template=None
+                    ) -> Tuple[Any, Any, dict]:
+    data = np.load(path + ".npz")
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    mp = f"model{SEP}"
+    model_flat = {k[len(mp):]: data[k] for k in data.files
+                  if k.startswith(mp)}
+    model = unflatten_like(model_template, model_flat)
+    opt = None
+    if optimizer_template is not None:
+        op = f"opt{SEP}"
+        opt_flat = {k[len(op):]: data[k] for k in data.files
+                    if k.startswith(op)}
+        if opt_flat:
+            opt = unflatten_like(optimizer_template, opt_flat)
+    return model, opt, meta
+
+
+class ModelSaver:
+    """Step-numbered saver (save.py:55-76)."""
+
+    def __init__(self, output_dir: str, prefix: str = "model_step"):
+        self.output_dir = output_dir
+        self.prefix = prefix
+        os.makedirs(output_dir, exist_ok=True)
+
+    def save(self, model, step: int, optimizer=None) -> str:
+        return save_checkpoint(
+            os.path.join(self.output_dir, f"{self.prefix}_{step}"),
+            model=model, optimizer=optimizer, step=step)
+
+
+def latest_step_checkpoint(output_dir: str, prefix: str = "model_step"
+                           ) -> Optional[Tuple[str, int]]:
+    """Auto-resume discovery (pretrain.py:906-917)."""
+    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.npz$")
+    best = None
+    for f in glob.glob(os.path.join(output_dir, f"{prefix}_*.npz")):
+        m = pat.search(f)
+        if m:
+            step = int(m.group(1))
+            if best is None or step > best[1]:
+                best = (f[:-len(".npz")], step)
+    return best

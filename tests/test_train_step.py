@@ -1,0 +1,88 @@
+"""ITM train step: loss decreases, dp-mesh == single-device, graft entry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _synthetic_batch, dryrun_multichip
+from lightningdot_tpu.config import EncoderConfig
+from lightningdot_tpu.models.bi_encoder import BiEncoder
+from lightningdot_tpu.parallel.mesh import data_parallel_mesh, replicate
+from lightningdot_tpu.training.itm_step import (create_train_state,
+                                                itm_loss_fn, jit_train_step,
+                                                make_itm_train_step)
+from lightningdot_tpu.training.optim import make_optimizer
+
+
+def tiny_model():
+    cfg = dict(vocab_size=512, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=4, intermediate_size=64,
+               max_position_embeddings=32, hidden_dropout_prob=0.0,
+               attention_probs_dropout_prob=0.0)
+    txt_cfg = EncoderConfig(**cfg)
+    img_cfg = EncoderConfig(**cfg, img_dim=16)
+    return BiEncoder(txt_cfg, img_cfg, compute_dtype=jnp.float32)
+
+
+def test_loss_decreases_when_training():
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, max_grad_norm=2.0)
+    state = create_train_state(params, tx)
+    batch = _synthetic_batch(8, txt_len=16, n_regions=8, vocab=512,
+                             img_dim=16)
+    step = jit_train_step(make_itm_train_step(model, tx), donate=False)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert np.isfinite(losses).all()
+
+
+def test_dp_mesh_matches_single_device():
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(1))
+    tx = make_optimizer(1e-3)
+    batch = _synthetic_batch(16, txt_len=16, n_regions=8, vocab=512,
+                             img_dim=16, seed=3)
+    rng = jax.random.PRNGKey(2)
+    train_step = make_itm_train_step(model, tx)
+
+    s1, m1 = jit_train_step(train_step, donate=False)(
+        create_train_state(params, tx), batch, rng)
+
+    mesh = data_parallel_mesh()
+    state = replicate(mesh, create_train_state(params, tx))
+    s8, m8 = jit_train_step(train_step, mesh=mesh, donate=False)(
+        state, batch, rng)
+
+    # global in-batch negatives: sharded step must equal the single-device
+    # computation on the same global batch
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_hard_negative_batch_shapes():
+    """imgs longer than txts (appended hard negatives)."""
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    batch = _synthetic_batch(6, txt_len=16, n_regions=8, vocab=512, img_dim=16)
+    # append 4 hard-negative images
+    extra = _synthetic_batch(4, txt_len=16, n_regions=8, vocab=512, img_dim=16,
+                             seed=9)
+    batch["imgs"] = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0),
+        batch["imgs"], extra["imgs"])
+    loss, (metrics, _) = itm_loss_fn(model, params, batch,
+                                     jax.random.PRNGKey(0),
+                                     deterministic=True)
+    assert np.isfinite(float(loss))
+
+
+def test_graft_dryrun_multichip():
+    dryrun_multichip(8)
