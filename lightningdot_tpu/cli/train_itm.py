@@ -1,0 +1,265 @@
+"""ITM fine-tuning driver.
+
+Parity: train_itm.py (reference root) — per-epoch hard-negative resampling,
+bidirectional NCE (+ optional caption blending + optional cross-encoder KD),
+AdamW + linear warmup (10% of total updates), per-epoch validation with
+best/last checkpointing, optional final test eval.
+
+TPU-native: one jitted train step over a dp mesh (global in-batch
+negatives); batches stream through the device prefetcher.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from lightningdot_tpu.config import (add_itm_params, add_kd_params,
+                                     add_logging_params, default_params,
+                                     parse_with_config, print_args)
+from lightningdot_tpu.data.feat_db import ImageDbGroup
+from lightningdot_tpu.data.itm import (CollateConfig, itm_fast_collate,
+                                       make_teacher_batch)
+from lightningdot_tpu.models.factory import build_biencoder, resolve_encoder_config
+from lightningdot_tpu.parallel.mesh import data_parallel_mesh, replicate
+from lightningdot_tpu.training import hn as hn_mod
+from lightningdot_tpu.training.checkpoints import save_checkpoint
+from lightningdot_tpu.training.evaluator import eval_model_on_dataloader
+from lightningdot_tpu.training.itm_step import (create_train_state,
+                                                jit_train_step, make_kd_fn,
+                                                make_itm_train_step)
+from lightningdot_tpu.training.optim import make_optimizer, schedule_linear
+from lightningdot_tpu.training.trainer_utils import build_dataloader, load_dataset
+from lightningdot_tpu.utils.logging import LOGGER, RunningMeter, TB_LOGGER
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("train_itm")
+    default_params(parser)
+    add_itm_params(parser)
+    add_logging_params(parser)
+    add_kd_params(parser)
+    return parser
+
+
+def _load_teacher(args):
+    """train_itm.py:87-96: cross-encoder teacher from checkpoint dir."""
+    from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
+    from lightningdot_tpu.models.cross_encoder import CrossEncoder
+
+    cfg_path = os.path.join(args.teacher_checkpoint, "config.json")
+    cfg = resolve_encoder_config(cfg_path)
+    teacher = CrossEncoder(cfg, margin=0.2)
+    model_pt = os.path.join(args.teacher_checkpoint, "model.pt")
+    if os.path.exists(model_pt):
+        sd = ckpt_torch.load_torch_state_dict(model_pt)
+        t_params = ckpt_torch.map_cross_encoder(
+            sd, num_layers=cfg.num_hidden_layers)
+        if "rank_output" not in t_params:
+            t_params = CrossEncoder.init_output(t_params)
+    else:
+        npz = os.path.join(args.teacher_checkpoint, "model")
+        from lightningdot_tpu.training.checkpoints import load_checkpoint
+        t_params, _, _ = load_checkpoint(
+            npz, model_template=teacher.init(jax.random.PRNGKey(0)))
+    t_params = jax.tree.map(jax.numpy.asarray, t_params)
+    return teacher, t_params
+
+
+def main(cmds=None):
+    args = parse_with_config(build_parser(), cmds)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # options safe guard (train_itm.py:68-71)
+    if args.conf_th == -1:
+        assert args.max_bb + args.max_txt_len + 2 <= 512
+    else:
+        assert args.num_bb + args.max_txt_len + 2 <= 512
+    print_args(args, LOGGER.info)
+    TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
+
+    from lightningdot_tpu.ops.backend import set_backend
+    set_backend(getattr(args, "kernel_backend", "auto"))
+    rng_py = random.Random(args.seed)
+    np.random.seed(args.seed)
+
+    args.vector_size = args.project_dim if args.project_dim > 0 else 768
+    if isinstance(args.train_txt_dbs, str):
+        args.train_txt_dbs = [args.train_txt_dbs]
+    if isinstance(args.train_img_dbs, str):
+        args.train_img_dbs = [args.train_img_dbs]
+
+    # img_meta / captions (train_itm.py:116-121)
+    args.img_meta_dict = None
+    args.tokenizer = None
+    if args.itm_global_file:
+        with open(args.itm_global_file) as f:
+            args.img_meta_dict = json.load(f)
+        from transformers import BertTokenizer
+        args.tokenizer = BertTokenizer.from_pretrained("bert-base-cased")
+
+    model, params = build_biencoder(args, seed=args.seed)
+    args.vector_size = model.txt_cfg.out_size
+
+    teacher = t_params = None
+    if args.teacher_checkpoint:
+        LOGGER.info("teacher checkpoint provided, using KD framework")
+        teacher, t_params = _load_teacher(args)
+
+    # data
+    all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
+                               args.num_bb)
+    (train_img2txt, train_txt2img, train_img2set, train_txt2set,
+     train_set2img, train_set2txt) = hn_mod.get_img_txt_mappings(
+        args.train_txt_dbs)
+
+    collate_cfg = CollateConfig(fixed_batch=args.train_batch_size)
+    collate = lambda items: itm_fast_collate(items, collate_cfg)
+    eval_collate = lambda items: itm_fast_collate(
+        items, CollateConfig(fixed_batch=args.valid_batch_size))
+
+    train_dataset = load_dataset(all_img_dbs, args.train_txt_dbs,
+                                 args.train_img_dbs, args, True)
+
+    if args.sample_init_hard_negatives:
+        assert args.num_hard_negatives > 0
+        hard_neg_txt, hard_neg_img = hn_mod.sampled_hard_negatives(
+            model, params, train_dataset.datasets, eval_collate, args,
+            train_img2txt, train_txt2img, rng=rng_py)
+    elif args.num_hard_negatives > 0 and \
+            args.hard_negatives_sampling == "random":
+        hard_neg_img = hn_mod.random_hard_neg(
+            train_txt2img, args.num_hard_negatives, train_txt2set,
+            train_set2img, rng=rng_py)
+        hard_neg_txt = hn_mod.random_hard_neg(
+            train_img2txt, args.num_hard_negatives, train_img2set,
+            train_set2txt, rng=rng_py)
+    else:
+        hard_neg_txt, hard_neg_img = None, None
+
+    train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
+    train_dataloader = build_dataloader(train_dataset, collate, True, args)
+    LOGGER.info("train dataset len = %d, dataloader len = %d",
+                len(train_dataset), len(train_dataloader))
+
+    val_dataset = load_dataset(all_img_dbs, args.val_txt_db, args.val_img_db,
+                               args, is_train=False)
+    val_dataset.new_epoch()
+    val_dataloader = build_dataloader(val_dataset, eval_collate, False, args)
+    val_img2txt = val_dataset.txt_db.img2txts
+
+    # optimizer + schedule (train_itm.py:125,172-175)
+    updates_per_epoch = max(
+        len(train_dataloader) // args.gradient_accumulation_steps, 1)
+    total_updates = updates_per_epoch * args.num_train_epochs
+    warmup_steps = int(0.1 * total_updates)
+    lr_schedule = schedule_linear(args.learning_rate, warmup_steps,
+                                  total_updates)
+    tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
+
+    kd_fn = None
+    if teacher is not None:
+        kd_fn = make_kd_fn(teacher, t_params, T=args.T)
+
+    mesh = data_parallel_mesh(args.dp_size) if jax.device_count() > 1 else None
+    train_step = jit_train_step(
+        make_itm_train_step(model, tx,
+                            caption_score_weight=args.caption_score_weight,
+                            num_hard_negatives=args.num_hard_negatives,
+                            kd_fn=kd_fn,
+                            kd_loss_weight=args.kd_loss_weight),
+        mesh=mesh, donate=True)
+    state = create_train_state(params, tx)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    rng = jax.random.PRNGKey(args.seed)
+    best_eval_metric = 0.0
+    loss_meter = RunningMeter("loss")
+    global_step = 0
+
+    for epoch in range(args.num_train_epochs):
+        LOGGER.info("*" * 70)
+        train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
+        train_dataloader = build_dataloader(train_dataset, collate, True, args)
+        t0 = time.time()
+        n_ex = 0
+        for step, batch in enumerate(train_dataloader):
+            if teacher is not None:
+                batch["teacher"] = make_teacher_batch(batch, n_teacher=10)
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(rng, global_step))
+            global_step += 1
+            n_ex += batch["n_valid"]
+            if (step + 1) % args.log_result_step == 0:
+                loss = float(metrics["loss"])
+                loss_meter(loss)
+                lr = float(lr_schedule(global_step))
+                LOGGER.info(
+                    "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
+                    "(%.1f ex/s)", epoch, step + 1, len(train_dataloader),
+                    loss, float(metrics["acc"]), lr,
+                    n_ex / max(time.time() - t0, 1e-6))
+                TB_LOGGER.set_step(global_step)
+                TB_LOGGER.log_metric("loss_train", loss)
+                TB_LOGGER.log_metric("lr", lr)
+
+        # eval and save (train_itm.py:313-349)
+        result = eval_model_on_dataloader(
+            model, state.params, val_dataloader, img2txt=val_img2txt,
+            vector_size=args.vector_size,
+            caption_score_weight=args.caption_score_weight)
+        recall_txt, recall_img = result.recall
+        recall_val = {t: (recall_txt[t] + recall_img[t]) / 2
+                      for t in recall_txt}
+        current = float(np.mean(list(recall_val.values())))
+        LOGGER.info("epoch %d: val loss=%.4f recall=%s (mean %.4f)",
+                    epoch, result.loss, recall_val, current)
+        TB_LOGGER.log_scalar_dict(
+            {f"R@{k}": v for k, v in recall_val.items()}, prefix="val")
+
+        ckpt = lambda name: save_checkpoint(
+            os.path.join(args.output_dir, f"biencoder.{name}"),
+            model=state.params, step=global_step, epoch=epoch)
+        if current > best_eval_metric:
+            best_eval_metric = current
+            ckpt("best")
+        ckpt("last")
+        if args.save_all_epochs:
+            ckpt(str(epoch))
+
+        # re-mine hard negatives (train_itm.py:351-358)
+        if args.num_hard_negatives > 0:
+            hard_neg_txt, hard_neg_img = hn_mod.sampled_hard_negatives(
+                model, state.params, train_dataset.datasets, eval_collate,
+                args, train_img2txt, train_txt2img, rng=rng_py)
+        else:
+            assert args.hard_negatives_sampling in ("none", "random")
+
+    results = {"best_val_recall_mean": best_eval_metric}
+    if args.test_txt_db:
+        test_dataset = load_dataset(all_img_dbs, args.test_txt_db,
+                                    args.test_img_db, args, is_train=False)
+        test_dataset.new_epoch()
+        test_loader = build_dataloader(test_dataset, eval_collate, False,
+                                       args)
+        res = eval_model_on_dataloader(
+            model, state.params, test_loader,
+            img2txt=test_dataset.txt_db.img2txts,
+            vector_size=args.vector_size,
+            caption_score_weight=args.caption_score_weight)
+        LOGGER.info("test: loss=%.4f recall_txt=%s recall_img=%s",
+                    res.loss, res.recall[0], res.recall[1])
+        results["test"] = {"recall_txt": res.recall[0],
+                           "recall_img": res.recall[1]}
+    print(json.dumps(results, default=float))
+    return results, state
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,36 @@ def itm_fast_collate(items: List[Dict[str, Any]],
         "txt_index": [it["txt_id"] for it in items],
         "img_fname": [im["fname"] for im in all_imgs[:bs]],
     }
+
+
+def make_teacher_batch(batch: Dict[str, Any], n_teacher: int
+                       ) -> Dict[str, np.ndarray]:
+    """Cross-encoder KD sub-batch (itm_fast_collate_kd, dvl/data/itm.py:165-173).
+
+    Pairs the first ``n_teacher`` images with every positive text:
+    pair order = text i * n_teacher + img j. The image-side [CLS] column of
+    the student mask is dropped (itm.py:167) — the joint sequence is
+    [text tokens ; regions].
+    """
+    bs = int(batch["sample_size"])
+    txt_ids = np.asarray(batch["txts"]["input_ids"][:bs])
+    txt_mask = np.asarray(batch["txts"]["attention_mask"][:bs])
+    img_feat = np.asarray(batch["imgs"]["img_feat"][:n_teacher])
+    img_pos = np.asarray(batch["imgs"]["img_pos_feat"][:n_teacher])
+    img_mask = np.asarray(batch["imgs"]["attention_mask"][:n_teacher, 1:])
+
+    input_ids = np.repeat(txt_ids, n_teacher, axis=0)
+    txt_mask_r = np.repeat(txt_mask, n_teacher, axis=0)
+    img_feat_t = np.tile(img_feat, (bs, 1, 1))
+    img_pos_t = np.tile(img_pos, (bs, 1, 1))
+    img_mask_t = np.tile(img_mask, (bs, 1))
+
+    L = input_ids.shape[1]
+    return {
+        "input_ids": input_ids,
+        "position_ids": position_ids(input_ids.shape[0], L),
+        "img_feat": img_feat_t,
+        "img_pos_feat": img_pos_t,
+        "attn_masks": np.concatenate([txt_mask_r, img_mask_t], axis=1),
+        "gather_index": None,
+    }

@@ -50,36 +50,74 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def itm_loss_fn(model: BiEncoder, params, batch, rng, *,
                 caption_score_weight: float = 0.0,
+                num_hard_negatives: int = 0,
                 deterministic: bool = False) -> Tuple[jnp.ndarray, Dict]:
-    """Bidirectional NCE (train_itm.py:197-222).
+    """Bidirectional NCE (train_itm.py:191-222).
 
-    batch['imgs'] may contain hard negatives appended after the first bs
-    positives; positives are columns 0..bs-1 (itm_fast_collate
-    pos_ctx_indices).
+    With hard negatives, txts/imgs carry bs positives followed by
+    bs*num_hard_negatives negatives (itm_fast_collate layout); queries are
+    the positives, contexts are everything (train_itm.py:197-201).
     """
     txt, img, cap = model.apply(params, batch, deterministic=deterministic,
                                 rng=rng)
-    bs = txt.shape[0]
+    bs = txt.shape[0] // (1 + num_hard_negatives)
     pos_idx = jnp.arange(bs)
 
-    # txt -> img over ALL image contexts (positives + hard negatives)
+    # img -> txt ("loss_nce_txt": q=imgs[:bs], ctx=all texts,
+    # train_itm.py:199-201)
     loss1, correct1, _ = BiEncoderNllLoss.calc(
-        txt, img, cap, pos_idx, None, caption_score_weight,
+        img[:bs], txt, cap, pos_idx, None, caption_score_weight,
         reduction="mean")
-    # img -> txt: only the positive images are queries (counts must match)
+    # txt -> img ("loss_nce_img": q=txts[:bs], ctx=all images)
     loss2, correct2, _ = BiEncoderNllLoss.calc(
-        img[:bs], txt, cap[:bs] if cap is not None else None, pos_idx, None,
-        0.0, reduction="mean")
+        txt[:bs], img, cap, pos_idx, None, caption_score_weight,
+        reduction="mean")
     loss = 0.5 * loss1 + 0.5 * loss2
     metrics = {
-        "loss": loss, "loss_txt2img": loss1, "loss_img2txt": loss2,
-        "acc_txt2img": correct1 / bs, "acc_img2txt": correct2 / bs,
+        "loss": loss, "loss_img2txt": loss1, "loss_txt2img": loss2,
+        "acc": (correct1 + correct2) / (2.0 * bs),
     }
     return loss, (metrics, (txt, img))
 
 
+def make_kd_fn(teacher, teacher_params, *, T: float = 1.0,
+               n_teacher: int = 10) -> Callable:
+    """Teacher-distillation loss (train_itm.py:224-239).
+
+    Student scores: symmetrized blend 0.5*(S + S^T) of the in-batch score
+    matrix (train_itm.py:217-222), first ``n_teacher`` rows. Teacher scores:
+    cross-encoder rank logits on the (text x first-n images) pair grid,
+    reshaped [n_teacher, bs]. KL(log_softmax(student/T) || softmax(teacher/T))
+    * T^2, elementwise-mean reduction (nn.KLDivLoss default).
+    """
+
+    def kd_fn(params, batch, embs):
+        del params
+        txt, img = embs
+        bs = batch["teacher"]["input_ids"].shape[0] // n_teacher
+        s = jnp.dot(txt[:bs], img[:bs].T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        student = (0.5 * (s + s.T))[:n_teacher]                    # [nt, bs]
+        t_scores = teacher.rank_scores(
+            jax.lax.stop_gradient(teacher_params), batch["teacher"],
+            deterministic=True)
+        t_scores = jax.lax.stop_gradient(
+            t_scores.reshape(bs, n_teacher).T)                     # [nt, bs]
+        logp = jax.nn.log_softmax(student / T, axis=1)
+        q = jax.nn.softmax(t_scores / T, axis=1)
+        # F.kl_div(logp, q, reduction='mean'): elementwise mean of
+        # q * (log q - logp)
+        safe_logq = jnp.where(q > 0, jnp.log(jnp.maximum(q, 1e-30)), 0.0)
+        kl = jnp.where(q > 0, q * (safe_logq - logp), 0.0)
+        return jnp.mean(kl) * T * T
+
+    return kd_fn
+
+
 def make_itm_train_step(model: BiEncoder, tx: optax.GradientTransformation,
                         *, caption_score_weight: float = 0.0,
+                        num_hard_negatives: int = 0,
                         kd_fn: Optional[Callable] = None,
                         kd_loss_weight: float = 1.0) -> Callable:
     """Build the jittable (state, batch, rng) -> (state, metrics) step.
@@ -92,7 +130,8 @@ def make_itm_train_step(model: BiEncoder, tx: optax.GradientTransformation,
         def loss_fn(params):
             loss, (metrics, embs) = itm_loss_fn(
                 model, params, batch, rng,
-                caption_score_weight=caption_score_weight)
+                caption_score_weight=caption_score_weight,
+                num_hard_negatives=num_hard_negatives)
             if kd_fn is not None:
                 kd_loss = kd_fn(params, batch, embs)
                 metrics["kd_loss"] = kd_loss
@@ -118,12 +157,23 @@ def jit_train_step(train_step: Callable, mesh=None,
     for the global in-batch score matrix.
     """
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-    if mesh is None:
-        return jitted
 
-    from lightningdot_tpu.parallel.mesh import replicate, shard_batch
+    def model_batch(batch):
+        """Drop host-only fields (ids, fnames, python ints) before tracing."""
+        mb = {"txts": batch["txts"], "imgs": batch["imgs"],
+              "caps": batch["caps"]}
+        if "teacher" in batch and batch["teacher"] is not None:
+            t = dict(batch["teacher"])
+            t.pop("gather_index", None)
+            mb["teacher"] = t
+        return mb
+
+    if mesh is None:
+        return lambda state, batch, rng: jitted(state, model_batch(batch), rng)
+
+    from lightningdot_tpu.parallel.mesh import shard_batch
 
     def wrapped(state, batch, rng):
-        return jitted(state, shard_batch(mesh, batch), rng)
+        return jitted(state, shard_batch(mesh, model_batch(batch)), rng)
 
     return wrapped
