@@ -1,0 +1,295 @@
+"""Multi-task pre-training driver.
+
+Parity: pretrain.py (reference root) — per-dataset task lists with
+``mix_ratio`` (config/pretrain-alldata-base.json schema), MetaLoader task
+sampling per accumulation window, per-task losses (MLM / MRFR / MRC-kl /
+ITM), AdamW with ``get_lr_sched`` decay, validation every ``valid_steps``,
+step-numbered checkpoints with auto-resume (pretrain.py:246-536,906-917).
+
+TPU-native: one jitted step per (task, shape bucket); the dp mesh shards the
+batch; task order comes from a seeded RNG (host-synchronized by seed, no
+``any_broadcast`` collective needed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from lightningdot_tpu.config import parse_with_config, print_args
+from lightningdot_tpu.const import BUCKET_SIZE, IMG_LABEL_DIM
+from lightningdot_tpu.data.feat_db import ImageDbGroup
+from lightningdot_tpu.data.loader import (DataLoader, MetaLoader,
+                                          TokenBucketSampler)
+from lightningdot_tpu.data.pretrain import (ItmPreDataset, MlmDataset,
+                                            MrcDataset, MrfrDataset,
+                                            PretrainCollateConfig,
+                                            itm_pre_collate, mlm_collate,
+                                            mrc_collate, mrfr_collate)
+from lightningdot_tpu.data.txt_db import TxtTokDb
+from lightningdot_tpu.models.bi_encoder import (BiEncoder,
+                                                BiEncoderForPretraining)
+from lightningdot_tpu.models.factory import resolve_encoder_config
+from lightningdot_tpu.training.checkpoints import (ModelSaver,
+                                                   latest_step_checkpoint,
+                                                   load_checkpoint)
+from lightningdot_tpu.training.optim import get_lr_sched, make_optimizer
+from lightningdot_tpu.training.pretrain_step import (make_pretrain_step,
+                                                     make_validate_fn)
+from lightningdot_tpu.utils.logging import LOGGER, RunningMeter, TB_LOGGER
+
+
+def build_parser():
+    p = argparse.ArgumentParser("pretrain")
+    p.add_argument("--config", required=True)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--num_train_steps", type=int, default=None)
+    p.add_argument("--valid_steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compute_dtype", default="bf16",
+                   choices=["bf16", "f32"])
+    p.add_argument("--kernel_backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    return p
+
+
+_TASK_BUILDERS = {}
+
+
+def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train):
+    """pretrain.py:79-221 build_*_dataset equivalents."""
+    datasets = []
+    for txt_db, img_db in zip(txt_dbs, img_dbs):
+        if task.startswith("mlm"):
+            datasets.append(MlmDataset(txt_db, img_db, seed=args.seed))
+            collate = lambda items: mlm_collate(items, collate_cfg)
+        elif task.startswith("mrfr"):
+            datasets.append(MrfrDataset(args.mrm_prob, txt_db, img_db,
+                                        seed=args.seed))
+            collate = lambda items: mrfr_collate(items, collate_cfg)
+        elif task.startswith("mrc"):
+            datasets.append(MrcDataset(args.mrm_prob, txt_db, img_db,
+                                       seed=args.seed))
+            collate = lambda items: mrc_collate(items, collate_cfg)
+        elif task.startswith("itm"):
+            datasets.append(ItmPreDataset(txt_db, img_db, args.itm_neg_prob,
+                                          seed=args.seed))
+            collate = lambda items: itm_pre_collate(items, collate_cfg)
+        else:
+            raise ValueError(f"Undefined task {task}")
+
+    from lightningdot_tpu.training.trainer_utils import ConcatDataset
+
+    dataset = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+
+    def on_epoch():
+        # resample ITM pairings every epoch (itm_pre.py:20-29)
+        for d in datasets:
+            if hasattr(d, "new_epoch"):
+                d.new_epoch()
+        sampler._lens = [l for d in datasets for l in d.lens]
+
+    sampler = TokenBucketSampler(
+        [l for d in datasets for l in d.lens], bucket_size=BUCKET_SIZE,
+        batch_size=args.train_batch_size if is_train else args.val_batch_size,
+        droplast=is_train, seed=args.seed)
+    return DataLoader(dataset, sampler=sampler, collate_fn=collate,
+                      on_epoch=on_epoch if task.startswith("itm") else None)
+
+
+def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,
+                       collate_cfg):
+    """pretrain.py:165-221."""
+    loaders = {}
+    for dset in dataset_specs:
+        img_dbs = [all_img_dbs[p] for p in dset["img"]]
+        for i, t in enumerate(dset["tasks"]):
+            task = f"{t}_{dset['name']}"
+            max_len = args.max_txt_len if is_train else -1
+            txt_dbs = [TxtTokDb(p, max_len) for p in dset["db"]]
+            LOGGER.info("Loading %s %s dataset %s", task,
+                        "train" if is_train else "val", dset["db"])
+            loader = _build_task(t, txt_dbs, img_dbs, args, collate_cfg,
+                                 is_train)
+            if is_train:
+                loaders[task] = (loader, dset["mix_ratio"][i])
+            else:
+                loaders[task] = loader
+    return loaders
+
+
+def validate(model_def, params, val_loaders, validate_fn, global_step):
+    """pretrain.py:527-536 + validate_* fns."""
+    out = {}
+    for task_name, loader in val_loaders.items():
+        task = task_name.split("_")[0]
+        t0 = time.time()
+        agg = defaultdict(float)
+        n = 0
+        for batch in loader:
+            metrics = validate_fn(params, batch, task)
+            for k, v in metrics.items():
+                agg[k] += float(v)
+            n += 1
+        res = {k: v / max(n, 1) for k, v in agg.items()}
+        LOGGER.info("validate %s: %s (%.1fs)", task_name, res,
+                    time.time() - t0)
+        TB_LOGGER.log_scalar_dict(res, prefix=f"val_{task_name}")
+        out[task_name] = res
+    return out
+
+
+def main(cmds=None):
+    args = parse_with_config(build_parser(), cmds)
+    # config safe guard (pretrain.py:919-923)
+    if args.conf_th == -1:
+        assert args.max_bb + args.max_txt_len + 2 <= 512
+    else:
+        assert args.num_bb + args.max_txt_len + 2 <= 512
+    print_args(args, LOGGER.info)
+    os.makedirs(args.output_dir, exist_ok=True)
+    TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
+
+    from lightningdot_tpu.ops.backend import set_backend
+    set_backend(args.kernel_backend)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
+
+    # model (BiEncoderForPretraining, pretrain.py:313-314)
+    project_dim = getattr(args, "project_dim", 0)
+    txt_cfg = resolve_encoder_config(args.txt_model_config,
+                                     project_dim=project_dim,
+                                     dropout=getattr(args, "dropout", 0.1))
+    img_cfg = resolve_encoder_config(args.img_model_config,
+                                     project_dim=project_dim,
+                                     dropout=getattr(args, "dropout", 0.1))
+    bi = BiEncoder(txt_cfg, img_cfg, compute_dtype=dtype)
+    model = BiEncoderForPretraining(
+        bi, cls_concat=getattr(args, "cls_concat", ""),
+        img_label_dim=getattr(args, "img_label_dim", IMG_LABEL_DIM))
+    params = model.init(jax.random.PRNGKey(args.seed))
+
+    # tower init from checkpoints (uniter-base.pt etc.)
+    from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
+
+    def _maybe(p):
+        return p if p and str(p).lower() != "none" and os.path.exists(p) \
+            else None
+
+    if _maybe(getattr(args, "img_checkpoint", None)):
+        sd = ckpt_torch.load_torch_state_dict(args.img_checkpoint)
+        params["bert"]["img_model"] = ckpt_torch.map_tower(
+            sd, with_img=True, num_layers=img_cfg.num_hidden_layers)
+    if _maybe(getattr(args, "txt_checkpoint", None)):
+        sd = ckpt_torch.load_torch_state_dict(args.txt_checkpoint)
+        params["bert"]["txt_model"] = ckpt_torch.map_tower(
+            sd, with_img=False, num_layers=txt_cfg.num_hidden_layers)
+    params = jax.tree.map(jnp.asarray, params)
+
+    # optimizer (build_optimizer + get_lr_sched)
+    lr_fn = get_lr_sched(getattr(args, "decay", "linear"),
+                         args.learning_rate, args.warmup_steps,
+                         args.num_train_steps)
+    tx = make_optimizer(lr_fn, betas=tuple(getattr(args, "betas", (0.9, 0.98))),
+                        weight_decay=getattr(args, "weight_decay", 0.01),
+                        max_grad_norm=getattr(args, "grad_norm", 5.0))
+    init_state, step_for_task = make_pretrain_step(
+        model, tx, accum_steps=args.gradient_accumulation_steps)
+    state = init_state(params)
+
+    # auto-resume (pretrain.py:320-328,906-917)
+    resume = latest_step_checkpoint(os.path.join(args.output_dir, "ckpt"))
+    global_step = 0
+    if resume is not None:
+        path, step = resume
+        LOGGER.info("auto-resume from %s (step %d)", path, step)
+        loaded_params, loaded_opt, meta = load_checkpoint(
+            path, model_template=state.params,
+            optimizer_template=state.opt_state)
+        state = type(state)(jax.tree.map(jnp.asarray, loaded_params),
+                            jax.tree.map(jnp.asarray, loaded_opt)
+                            if loaded_opt is not None else state.opt_state,
+                            jnp.asarray(step * args.gradient_accumulation_steps,
+                                        jnp.int32))
+        global_step = step
+
+    # data
+    all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
+                               args.num_bb)
+    collate_cfg = PretrainCollateConfig()
+    train_loaders = create_dataloaders(args.train_datasets, True, args,
+                                       all_img_dbs, collate_cfg)
+    val_loaders = create_dataloaders(args.val_datasets, False, args,
+                                     all_img_dbs, collate_cfg)
+    meta_loader = MetaLoader(train_loaders,
+                             accum_steps=args.gradient_accumulation_steps,
+                             seed=args.seed)
+    validate_fn = make_validate_fn(model)
+    saver = ModelSaver(os.path.join(args.output_dir, "ckpt"))
+
+    task2loss: Dict[str, RunningMeter] = {
+        t: RunningMeter(f"loss/{t}") for t in train_loaders}
+    pending_loss: Dict[str, Any] = {}
+    log_every = min(100, max(args.valid_steps, 1))
+    n_examples = defaultdict(int)
+    rng = jax.random.PRNGKey(args.seed)
+    start = time.time()
+    micro_step = 0
+
+    LOGGER.info("start pre-training: %d steps, tasks=%s",
+                args.num_train_steps, list(train_loaders))
+    for name, batch in meta_loader:
+        task = name.split("_")[0]
+        n_examples[name] += batch["n_valid"]
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("n_valid", "sample_size")}
+        state, metrics = step_for_task(task)(
+            state, model_batch, jax.random.fold_in(rng, micro_step))
+        micro_step += 1
+        # keep the loss on device — host pulls are expensive; drained at the
+        # logging interval only
+        pending_loss[name] = metrics["loss"]
+
+        if micro_step % args.gradient_accumulation_steps == 0:
+            global_step += 1
+            if global_step % log_every == 0:
+                for t, dev_loss in pending_loss.items():
+                    task2loss[t](float(dev_loss))
+                pending_loss.clear()
+                elapsed = time.time() - start
+                LOGGER.info("========= Step %d =========", global_step)
+                for t, meter in task2loss.items():
+                    LOGGER.info("%s: %d ex at %d ex/s, %s", t,
+                                n_examples[t],
+                                int(n_examples[t] / elapsed), meter)
+                TB_LOGGER.set_step(global_step)
+                TB_LOGGER.log_metric("lr", float(lr_fn(global_step)))
+                for t, meter in task2loss.items():
+                    TB_LOGGER.log_metric(meter.name, meter.val)
+            if global_step % args.valid_steps == 0:
+                validate(model, state.params, val_loaders, validate_fn,
+                         global_step)
+                saver.save(state.params, global_step,
+                           optimizer=state.opt_state)
+        if global_step >= args.num_train_steps:
+            break
+
+    if global_step % args.valid_steps != 0:
+        saver.save(state.params, global_step, optimizer=state.opt_state)
+        results = validate(model, state.params, val_loaders, validate_fn,
+                           global_step)
+    else:
+        results = validate(model, state.params, val_loaders, validate_fn,
+                           global_step)
+    return results, state
+
+
+if __name__ == "__main__":
+    main()

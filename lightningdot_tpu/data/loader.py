@@ -72,7 +72,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: Optional[int] = None,
                  shuffle: bool = False, drop_last: bool = False,
                  collate_fn: Callable = None, sampler=None,
-                 seed: Optional[int] = None, prefetch: int = 2):
+                 seed: Optional[int] = None, prefetch: int = 2,
+                 on_epoch: Optional[Callable] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -81,6 +82,9 @@ class DataLoader:
         self.sampler = sampler
         self._rng = random.Random(seed)
         self._prefetch = prefetch
+        # called at the start of every epoch (TokenBucketSamplerForItm's
+        # new_epoch hook, dvl/data/itm_pre.py:20-29)
+        self._on_epoch = on_epoch
 
     def _batches(self) -> Iterator[List[int]]:
         if self.sampler is not None:
@@ -104,6 +108,8 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self):
+        if self._on_epoch is not None:
+            self._on_epoch()
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         _SENTINEL = object()
 

@@ -1,0 +1,118 @@
+"""Jitted multi-task pre-training steps.
+
+Parity: the pretrain.py hot loop (pretrain.py:388-536) — per-task losses
+reduced as the mean over loss units (pretrain.py:399-406), gradient
+accumulation over an accum window on a single task, grad clip + AdamW + LR
+from ``get_lr_sched`` per update.
+
+One jitted step per (task, shape-bucket) signature; accumulation uses
+optax.MultiSteps so the optimizer state machine matches "backward every
+micro-batch, step every accum_steps".
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lightningdot_tpu.models.bi_encoder import BiEncoderForPretraining
+from lightningdot_tpu.training.itm_step import TrainState, create_train_state
+
+
+def weighted_mean(loss: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Mean over valid loss units (matches ``loss.mean()`` on the dynamic-
+    shape reference tensors, pretrain.py:399-406)."""
+    while weights.ndim < loss.ndim:
+        weights = weights[..., None]
+    denom = jnp.maximum(jnp.sum(weights) * (loss.size / weights.size), 1.0)
+    return jnp.sum(loss * weights) / denom
+
+
+def task_loss(model: BiEncoderForPretraining, params, batch, task: str, rng,
+              deterministic: bool = False) -> Tuple[jnp.ndarray, Dict]:
+    """Weighted scalar loss for one task."""
+    if task == "mlm":
+        nll, logits, w = model.forward_mlm(params, batch, rng=rng,
+                                           deterministic=deterministic)
+        loss = weighted_mean(nll, w)
+        correct = jnp.sum((jnp.argmax(logits, -1).reshape(-1)
+                           == batch["masked_labels"].reshape(-1)) * w)
+        return loss, {"loss": loss, "acc": correct / jnp.maximum(w.sum(), 1)}
+    if task == "mrfr":
+        mse, _, w = model.forward_mrfr(params, batch, rng=rng,
+                                       deterministic=deterministic)
+        loss = weighted_mean(mse, w)
+        return loss, {"loss": loss}
+    if task.startswith("mrc"):
+        kl, logits, w = model.forward_mrc(params, batch, task, rng=rng,
+                                          deterministic=deterministic)
+        loss = weighted_mean(kl, w)
+        pred = jnp.argmax(logits[:, :, 1:], -1) + 1
+        tgt = jnp.argmax(batch["label_targets"][:, :, 1:], -1) + 1
+        acc = jnp.sum((pred == tgt) * w) / jnp.maximum(w.sum(), 1)
+        return loss, {"loss": loss, "acc": acc}
+    if task == "itm":
+        nll, _, correct = model.forward_itm(params, batch, rng=rng,
+                                            deterministic=deterministic,
+                                            compute_loss=False)
+        w = batch["weights"]
+        loss = weighted_mean(nll, w)
+        return loss, {"loss": loss,
+                      "acc": correct / jnp.maximum(w.sum(), 1)}
+    raise ValueError(f"invalid task {task}")
+
+
+def make_pretrain_step(model: BiEncoderForPretraining,
+                       tx: optax.GradientTransformation,
+                       accum_steps: int = 1) -> Tuple[Callable, Callable]:
+    """Returns (init_state, step_fn(task)(state, batch, rng))."""
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+
+    def init_state(params) -> TrainState:
+        return create_train_state(params, tx)
+
+    _cache: Dict[str, Callable] = {}
+
+    def step_for_task(task: str) -> Callable:
+        fn = _cache.get(task)
+        if fn is None:
+            def train_step(state: TrainState, batch, rng):
+                def loss_fn(params):
+                    return task_loss(model, params, batch, task, rng)
+
+                grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(params, opt_state, state.step + 1),
+                        metrics)
+
+            fn = jax.jit(train_step, donate_argnums=(0,))
+            _cache[task] = fn
+        return fn
+
+    return init_state, step_for_task
+
+
+def make_validate_fn(model: BiEncoderForPretraining) -> Callable:
+    """Per-task validation forward (pretrain.py:539-790 validate_*)."""
+    _cache: Dict[str, Callable] = {}
+
+    def validate_batch(params, batch, task: str):
+        fn = _cache.get(task)
+        if fn is None:
+            def val_step(params, batch):
+                loss, metrics = task_loss(model, params, batch, task,
+                                          rng=None, deterministic=True)
+                return metrics
+
+            fn = jax.jit(val_step)
+            _cache[task] = fn
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("n_valid", "sample_size")}
+        return fn(params, model_batch)
+
+    return validate_batch
