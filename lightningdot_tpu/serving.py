@@ -1,0 +1,138 @@
+"""Interactive query serving (the demo path).
+
+Parity: dvl/utils.py:191-233 + demo/utils.py — encode a corpus once, build a
+dense index, then serve text queries in real time: tokenize -> one text-tower
+forward -> ``search_knn`` (retrieve_query, dvl/utils.py:204-211).
+
+TPU-native: the query path is one fused jitted program (token ids -> 768-d
+vec -> MXU matmul vs the in-HBM corpus -> top-k) — the configuration measured
+by bench.py.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightningdot_tpu.models.bi_encoder import BiEncoder
+from lightningdot_tpu.training.evaluator import BatchEncoder
+
+QUERY_LEN_BUCKETS = (16, 32, 64)
+
+
+class Retriever:
+    """Serve text->image retrieval against a pre-encoded corpus."""
+
+    def __init__(self, model: BiEncoder, params, tokenizer,
+                 query_buckets: Sequence[int] = QUERY_LEN_BUCKETS):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.query_buckets = query_buckets
+        self._corpus = None            # [N_pad, D] device array
+        self._ids: List[Any] = []
+        self._fns: Dict[int, Any] = {}
+
+    # -- corpus --------------------------------------------------------------
+    def set_corpus(self, ids: Sequence[Any], vectors: np.ndarray) -> None:
+        n = vectors.shape[0]
+        n_pad = -(-n // 128) * 128
+        mat = np.zeros((n_pad, vectors.shape[1]), np.float32)
+        mat[:n] = vectors
+        bias = np.zeros((n_pad,), np.float32)
+        bias[n:] = -1e30
+        self._corpus = jnp.asarray(mat)
+        self._bias = jnp.asarray(bias)
+        self._ids = list(ids)
+        self._fns.clear()
+
+    def save_corpus(self, path: str) -> None:
+        np.save(path + ".vecs.npy", np.asarray(self._corpus))
+        with open(path + ".ids.pkl", "wb") as f:
+            pickle.dump((self._ids, len(self._ids)), f)
+
+    def load_corpus(self, path: str) -> None:
+        vecs = np.load(path + ".vecs.npy")
+        with open(path + ".ids.pkl", "rb") as f:
+            ids, n = pickle.load(f)
+        self.set_corpus(ids, vecs[:n])
+
+    # -- query ---------------------------------------------------------------
+    def _query_fn(self, length: int, k: int):
+        key = (length, k)
+        fn = self._fns.get(key)
+        if fn is None:
+            model = self.model
+
+            def run(params, ids, mask, corpus, bias):
+                sb = {"input_ids": ids, "attention_mask": mask,
+                      "position_ids": jnp.broadcast_to(
+                          jnp.arange(length, dtype=jnp.int32),
+                          ids.shape)}
+                vec = model.encode_txt(params, sb, deterministic=True)
+                scores = jnp.dot(vec.astype(jnp.float32), corpus.T,
+                                 preferred_element_type=jnp.float32)
+                return jax.lax.top_k(scores + bias[None, :], k)
+
+            fn = jax.jit(run)
+            self._fns[key] = fn
+        return fn
+
+    def retrieve_query(self, query: str, top: int = 100
+                       ) -> List[Tuple[Any, float]]:
+        """dvl/utils.py:204-211 semantics -> [(db_id, score)] ranked."""
+        token_ids = self.tokenizer.encode(query)
+        from lightningdot_tpu.data.padding import bucket_len
+
+        L = bucket_len(len(token_ids), self.query_buckets)
+        ids = np.zeros((1, L), np.int32)
+        ids[0, :len(token_ids)] = token_ids[:L]
+        mask = np.zeros((1, L), np.int32)
+        mask[0, :len(token_ids)] = 1
+        k = min(top, len(self._ids))
+        scores, idx = self._query_fn(L, k)(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), self._corpus,
+            self._bias)
+        scores, idx = np.asarray(scores)[0], np.asarray(idx)[0]
+        return [(self._ids[i], float(s)) for i, s in zip(idx, scores)]
+
+
+def get_model_encoded_vecs(model: BiEncoder, params, dataloader
+                           ) -> Dict[str, Any]:
+    """Encode a whole dataloader (dvl/utils.py:214-233)."""
+    encoder = BatchEncoder(model, params)
+    img_embedding, caption_embedding, query_embedding = {}, {}, {}
+    labels_img_name: List[Any] = []
+    for batch in dataloader:
+        txt, img, cap = encoder(batch)
+        n_valid = batch["n_valid"]
+        fnames = batch["img_fname"][:n_valid]
+        tids = batch["txt_index"][:n_valid]
+        img_embedding.update(
+            {f: np.asarray(v) for f, v in zip(fnames, img[:n_valid])})
+        if cap is not None:
+            caption_embedding.update(
+                {f: np.asarray(v) for f, v in zip(fnames, cap[:n_valid])})
+        query_embedding.update(
+            {t: np.asarray(v) for t, v in zip(tids, txt[:n_valid])})
+        labels_img_name.extend(fnames)
+    return {"img_embed": img_embedding, "caption_embed": caption_embedding,
+            "txt_embed": query_embedding, "img_name": labels_img_name}
+
+
+def display_img(img_meta: dict, name: str, img_only: bool = False) -> None:
+    """dvl/utils.py:191-202 (requires matplotlib + image files on disk)."""
+    import matplotlib.image as mpimg
+    import matplotlib.pyplot as plt
+
+    img = mpimg.imread(img_meta[name]["img_file"])
+    plt.imshow(img)
+    plt.show()
+    if not img_only:
+        print("annotation")
+        print("\t" + "\n\t".join(img_meta[name]["annotation"]))
+        print("caption")
+        print("\t" + img_meta[name]["caption"][0])

@@ -1,0 +1,112 @@
+"""Serving path, VQA head, misc utils."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightningdot_tpu.config import EncoderConfig
+from lightningdot_tpu.models.bi_encoder import BiEncoder
+from lightningdot_tpu.models.vqa import BiEncoderForVQA
+from lightningdot_tpu.serving import Retriever
+from lightningdot_tpu.utils.misc import (compare_models, host_all_gather,
+                                         num_of_parameters)
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [101] + [200 + (hash(w) % 50) for w in text.split()] + [102]
+
+
+def tiny_biencoder():
+    cfg = dict(vocab_size=512, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=4, intermediate_size=64,
+               max_position_embeddings=64, hidden_dropout_prob=0.0,
+               attention_probs_dropout_prob=0.0)
+    return BiEncoder(EncoderConfig(**cfg), EncoderConfig(**cfg, img_dim=16),
+                     compute_dtype=jnp.float32)
+
+
+def test_retriever_roundtrip(tmp_path, rng):
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    retriever = Retriever(model, params, FakeTokenizer())
+
+    ids = [f"img_{i}" for i in range(300)]
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    retriever.set_corpus(ids, vecs)
+    res = retriever.retrieve_query("a dog on the beach", top=10)
+    assert len(res) == 10
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(i in ids for i, _ in res)
+
+    # persistence round trip
+    path = str(tmp_path / "corpus")
+    retriever.save_corpus(path)
+    r2 = Retriever(model, params, FakeTokenizer())
+    r2.load_corpus(path)
+    res2 = r2.retrieve_query("a dog on the beach", top=10)
+    assert [i for i, _ in res] == [i for i, _ in res2]
+
+    # retrieval really uses the model: a planted corpus vector equal to the
+    # query embedding must rank first
+    q_emb_ids, q_emb_scores = res[0], None
+    token_ids = FakeTokenizer().encode("a cat")
+    from lightningdot_tpu.data.padding import bucket_len
+    # encode "a cat" manually through the tower
+    L = 16
+    idsa = np.zeros((1, L), np.int32)
+    idsa[0, :len(token_ids)] = token_ids
+    mask = np.zeros((1, L), np.int32)
+    mask[0, :len(token_ids)] = 1
+    vec = model.encode_txt(params, {
+        "input_ids": jnp.asarray(idsa), "attention_mask": jnp.asarray(mask),
+        "position_ids": jnp.broadcast_to(jnp.arange(L), (1, L))})
+    vecs2 = np.concatenate([vecs, np.asarray(vec)], axis=0)
+    retriever.set_corpus(ids + ["planted"], vecs2)
+    res3 = retriever.retrieve_query("a cat", top=1)
+    assert res3[0][0] == "planted"
+
+
+def test_vqa_head(rng):
+    model = tiny_biencoder()
+    vqa = BiEncoderForVQA(model, hidden_size=32, num_answer=7)
+    params = vqa.init(jax.random.PRNGKey(0))
+    bs, L, R = 3, 12, 6
+    batch = {
+        "txts": {"input_ids": jnp.asarray(rng.integers(1, 512, (bs, L)),
+                                          dtype=jnp.int32),
+                 "attention_mask": jnp.ones((bs, L), jnp.int32),
+                 "position_ids": jnp.broadcast_to(jnp.arange(L), (bs, L))},
+        "imgs": {"input_ids": jnp.full((bs, 1), 101, jnp.int32),
+                 "attention_mask": jnp.ones((bs, 1 + R), jnp.int32),
+                 "img_feat": jnp.asarray(
+                     rng.standard_normal((bs, R, 16)), dtype=jnp.float32),
+                 "img_pos_feat": jnp.asarray(rng.random((bs, R, 7)),
+                                             dtype=jnp.float32)},
+        "caps": None,
+    }
+    scores = vqa.apply(params, batch, compute_loss=False)
+    assert scores.shape == (bs, 7)
+    targets = jnp.asarray(rng.integers(0, 2, (bs, 7)), dtype=jnp.float32)
+    loss = vqa.apply(params, batch, targets=targets)
+    assert loss.shape == (bs, 7)
+    # matches torch BCE-with-logits
+    import torch
+    ref = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(np.asarray(scores)),
+        torch.from_numpy(np.asarray(targets)), reduction="none").numpy()
+    np.testing.assert_allclose(np.asarray(loss), ref, atol=1e-5)
+
+
+def test_misc_utils():
+    model = tiny_biencoder()
+    p1 = model.init(jax.random.PRNGKey(0))
+    p2 = model.init(jax.random.PRNGKey(0))
+    assert num_of_parameters(p1) > 0
+    assert compare_models(p1, p2, verbose=False) == 0
+    p3 = jax.tree.map(lambda x: x, p1)
+    p3["txt_model"]["pooler"]["bias"] = \
+        p3["txt_model"]["pooler"]["bias"] + 1.0
+    assert compare_models(p1, p3, verbose=False) == 1
+    assert host_all_gather({"a": 1}) == [{"a": 1}]
