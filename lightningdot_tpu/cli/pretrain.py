@@ -194,6 +194,34 @@ def main(cmds=None):
     params = jax.tree.map(jnp.asarray, params)
 
     # optimizer (build_optimizer + get_lr_sched)
+    # optional one-tower UNITER teacher for KD (pretrain.py:330-343,409-428)
+    teacher = teacher_params = None
+    if getattr(args, "teacher_checkpoint", None):
+        from lightningdot_tpu.models.uniter_pretrain import UniterForPretraining
+
+        t_cfg_path = os.path.join(args.teacher_checkpoint, "config.json")
+        t_cfg = resolve_encoder_config(
+            t_cfg_path if os.path.exists(t_cfg_path) else args.model_config)
+        teacher = UniterForPretraining(
+            t_cfg, img_label_dim=getattr(args, "img_label_dim",
+                                         IMG_LABEL_DIM),
+            compute_dtype=dtype)
+        t_model_pt = os.path.join(args.teacher_checkpoint, "model.pt")
+        if os.path.exists(t_model_pt):
+            sd = ckpt_torch.load_torch_state_dict(t_model_pt)
+            teacher_params = {
+                "uniter": ckpt_torch.map_tower(
+                    sd, with_img=True, num_layers=t_cfg.num_hidden_layers),
+                "heads": ckpt_torch.map_pretrain_model(sd)["heads"],
+            }
+        else:
+            teacher_params, _, _ = load_checkpoint(
+                os.path.join(args.teacher_checkpoint, "model"),
+                model_template=teacher.init(jax.random.PRNGKey(0)))
+        teacher_params = jax.tree.map(jnp.asarray, teacher_params)
+        LOGGER.info("pretrain KD enabled (teacher %s)",
+                    args.teacher_checkpoint)
+
     lr_fn = get_lr_sched(getattr(args, "decay", "linear"),
                          args.learning_rate, args.warmup_steps,
                          args.num_train_steps)
@@ -201,7 +229,10 @@ def main(cmds=None):
                         weight_decay=getattr(args, "weight_decay", 0.01),
                         max_grad_norm=getattr(args, "grad_norm", 5.0))
     init_state, step_for_task = make_pretrain_step(
-        model, tx, accum_steps=args.gradient_accumulation_steps)
+        model, tx, accum_steps=args.gradient_accumulation_steps,
+        teacher=teacher, teacher_params=teacher_params,
+        kd_loss_weight=getattr(args, "kd_loss_weight", 1.0),
+        kd_T=getattr(args, "T", 1.0))
     state = init_state(params)
 
     # auto-resume (pretrain.py:320-328,906-917)
@@ -223,7 +254,7 @@ def main(cmds=None):
     # data
     all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
                                args.num_bb)
-    collate_cfg = PretrainCollateConfig()
+    collate_cfg = PretrainCollateConfig(with_teacher=teacher is not None)
     train_loaders = create_dataloaders(args.train_datasets, True, args,
                                        all_img_dbs, collate_cfg)
     val_loaders = create_dataloaders(args.val_datasets, False, args,

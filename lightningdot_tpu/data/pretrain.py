@@ -202,6 +202,44 @@ class PretrainCollateConfig:
     max_masked_regions: int = MAX_MASKED_REGIONS
     img_cls_id: int = const.IMG_CLS_TOKEN_ID
     img_label_dim: int = const.IMG_LABEL_DIM
+    # attach the joint-input teacher sub-batch for pretrain KD
+    # (mlm.py:132-163 attn_masks_teacher + gather_index_uniter)
+    with_teacher: bool = False
+
+
+def _gather_index_uniter(txt_lens: List[int], nbbs: List[int], L: int,
+                         out_size: int) -> np.ndarray:
+    """True joint compaction (uniter data.py:297-305): regions of example i
+    start right after its tl_i text tokens; text is padded to L."""
+    n = len(txt_lens)
+    gi = np.broadcast_to(np.arange(out_size, dtype=np.int32),
+                         (n, out_size)).copy()
+    for i, (tl, nbb) in enumerate(zip(txt_lens, nbbs)):
+        gi[i, tl:tl + nbb] = L + np.arange(nbb, dtype=np.int32)
+    return gi
+
+
+def _teacher_fields(items, txts, imgs, L: int, R: int) -> Dict[str, Any]:
+    """Joint-input sub-batch for the one-tower teacher (batch_2_teacher,
+    pretrain.py:211-229 + mlm.py:132-163)."""
+    n = len(items)
+    txt_lens = [int(m.sum()) for m in txts["attention_mask"]]
+    nbbs = [it["num_bb"] for it in items]
+    out_size = L + R
+    attn = np.zeros((n, out_size), np.int32)
+    for i, (tl, nbb) in enumerate(zip(txt_lens, nbbs)):
+        attn[i, :tl + nbb] = 1
+    teacher = {
+        "input_ids": txts["input_ids"],
+        "position_ids": txts["position_ids"],
+        "img_feat": imgs["img_feat"],
+        "img_pos_feat": imgs["img_pos_feat"],
+        "attn_masks": attn,
+        "gather_index": _gather_index_uniter(txt_lens, nbbs, L, out_size),
+    }
+    if "img_masks" in imgs:
+        teacher["img_masks"] = imgs["img_masks"]
+    return teacher, txt_lens
 
 
 def _pad_batch(items: List[dict], pad_to: int) -> tuple[List[dict], int]:
@@ -249,10 +287,19 @@ def mlm_collate(items: List[dict],
         labels[i, :len(idx)] = [it["txt_labels"][j] for j in idx]
         if i < n_valid:
             weights[i, :len(idx)] = 1.0
-    return {"txts": txts, "imgs": imgs, "caps": None,
-            "masked_positions": positions, "masked_labels": labels,
-            "masked_weights": weights, "n_valid": n_valid,
-            "sample_size": n}
+    batch = {"txts": txts, "imgs": imgs, "caps": None,
+             "masked_positions": positions, "masked_labels": labels,
+             "masked_weights": weights, "n_valid": n_valid,
+             "sample_size": n}
+    if cfg.with_teacher:
+        teacher, _ = _teacher_fields(items, txts, imgs, L, R)
+        # text occupies the joint prefix, so the teacher's masked positions
+        # equal the student's text positions
+        teacher["masked_positions"] = positions
+        teacher["masked_labels"] = labels
+        teacher["masked_weights"] = weights
+        batch["teacher"] = teacher
+    return batch
 
 
 def _region_mask_arrays(items, cfg, R, with_soft_labels: bool, n_valid: int):
@@ -293,11 +340,21 @@ def mrfr_collate(items: List[dict],
         items, cfg, R, with_soft_labels=False, n_valid=n_valid)
     imgs["img_feat"] = imgs["img_feat"] * (1 - img_masks[:, :, None])
     imgs["img_masks"] = img_masks
-    return {"txts": txts, "imgs": imgs, "caps": None,
-            "img_masked_positions": positions,
-            "img_masked_weights": weights,
-            "feat_targets": feat_targets, "n_valid": n_valid,
-            "sample_size": len(items)}
+    batch = {"txts": txts, "imgs": imgs, "caps": None,
+             "img_masked_positions": positions,
+             "img_masked_weights": weights,
+             "feat_targets": feat_targets, "n_valid": n_valid,
+             "sample_size": len(items)}
+    if cfg.with_teacher:
+        teacher, txt_lens = _teacher_fields(items, txts, imgs, L, R)
+        # joint-sequence region positions: tl_i + region_idx (the student's
+        # positions carry region_idx + 1 for the image-CLS offset)
+        tpos = positions - 1 + np.asarray(txt_lens, np.int32)[:, None]
+        teacher["img_masked_positions"] = np.where(weights > 0, tpos, 0)
+        teacher["img_masked_weights"] = weights
+        teacher["feat_targets"] = feat_targets
+        batch["teacher"] = teacher
+    return batch
 
 
 def mrc_collate(items: List[dict],
@@ -309,11 +366,19 @@ def mrc_collate(items: List[dict],
         items, cfg, R, with_soft_labels=True, n_valid=n_valid)
     imgs["img_feat"] = imgs["img_feat"] * (1 - img_masks[:, :, None])
     imgs["img_masks"] = img_masks
-    return {"txts": txts, "imgs": imgs, "caps": None,
-            "img_masked_positions": positions,
-            "img_masked_weights": weights,
-            "label_targets": label_targets, "n_valid": n_valid,
-            "sample_size": len(items)}
+    batch = {"txts": txts, "imgs": imgs, "caps": None,
+             "img_masked_positions": positions,
+             "img_masked_weights": weights,
+             "label_targets": label_targets, "n_valid": n_valid,
+             "sample_size": len(items)}
+    if cfg.with_teacher:
+        teacher, txt_lens = _teacher_fields(items, txts, imgs, L, R)
+        tpos = positions - 1 + np.asarray(txt_lens, np.int32)[:, None]
+        teacher["img_masked_positions"] = np.where(weights > 0, tpos, 0)
+        teacher["img_masked_weights"] = weights
+        teacher["label_targets"] = label_targets
+        batch["teacher"] = teacher
+    return batch
 
 
 def itm_pre_collate(items: List[dict],

@@ -194,6 +194,53 @@ def init_pretrain_heads(rng, cfg: EncoderConfig, img_label_dim: int) -> Params:
     }
 
 
+def apply_mlm_head(heads: Params, hidden, decoder_weight, *, eps=1e-12,
+                   dtype=jnp.float32):
+    """Tied-decoder MLM head (layer.py:205-233). decoder_weight: [V, H]."""
+    h = gelu(enc._dense(heads["transform"]["dense"], hidden, dtype))
+    h = layer_norm(h, heads["transform"]["ln"]["scale"],
+                   heads["transform"]["ln"]["bias"], eps)
+    logits = jnp.dot(h, decoder_weight.T.astype(dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=enc.matmul_precision(dtype))
+    return logits + heads["bias"]
+
+
+def apply_feat_regress(heads: Params, hidden, img_linear_kernel, *,
+                       eps=1e-12, dtype=jnp.float32):
+    """RegionFeatureRegression with tied img_linear weight (model.py:390-403).
+    img_linear_kernel: [img_dim, H] (our jax layout)."""
+    h = gelu(enc._dense(heads["dense"], hidden, dtype))
+    h = layer_norm(h, heads["ln"]["scale"], heads["ln"]["bias"], eps)
+    return (jnp.dot(h, img_linear_kernel.T.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=enc.matmul_precision(dtype))
+            + heads["bias"])
+
+
+def apply_region_classifier(heads: Params, hidden, *, eps=1e-12,
+                            dtype=jnp.float32):
+    """RegionClassification (model.py:406-416)."""
+    h = gelu(enc._dense(heads["dense"], hidden, dtype))
+    h = layer_norm(h, heads["ln"]["scale"], heads["ln"]["bias"], eps)
+    return enc._dense(heads["out"], h, dtype).astype(jnp.float32)
+
+
+def mrc_loss_from_logits(logits, label_targets, task: str):
+    """KL (mrc-kl) or hard-label CE over region classes
+    (bi_encoder.py:552-563)."""
+    label_targets = label_targets.astype(jnp.float32)
+    if "kl" in task:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        safe_log = jnp.where(label_targets > 0,
+                             jnp.log(jnp.maximum(label_targets, 1e-30)), 0.0)
+        return jnp.where(label_targets > 0,
+                         label_targets * (safe_log - logp), 0.0)
+    hard = jnp.argmax(label_targets[..., 1:], axis=-1) + 1
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, hard[..., None], axis=-1)[..., 0]
+
+
 def _cls_concat_fuse(seq, other_cls, mode: str):
     """Cross-tower CLS fusion (bi_encoder.py:370-378)."""
     if mode == "add":
@@ -261,18 +308,12 @@ class BiEncoderForPretraining:
         return txt_seq, img_seq
 
     def mlm_logits(self, params: Params, hidden):
-        """Tied-decoder MLM head (layer.py:205-233; tie bi_encoder.py:300-301)."""
-        heads = params["heads"]["mlm"]
-        cfg = self.cfg
-        dtype = self.bi_encoder.compute_dtype
-        h = gelu(enc._dense(heads["transform"]["dense"], hidden, dtype))
-        h = layer_norm(h, heads["transform"]["ln"]["scale"],
-                       heads["transform"]["ln"]["bias"], cfg.layer_norm_eps)
-        decoder = params["bert"]["img_model"]["embeddings"]["word"]
-        logits = jnp.dot(h, decoder.T.astype(dtype),
-                         preferred_element_type=jnp.float32,
-                         precision=enc.matmul_precision(dtype))
-        return logits + heads["bias"]
+        """MLM head; decoder tied to the IMAGE tower's word embeddings
+        (bi_encoder.py:300-301)."""
+        return apply_mlm_head(
+            params["heads"]["mlm"], hidden,
+            params["bert"]["img_model"]["embeddings"]["word"],
+            eps=self.cfg.layer_norm_eps, dtype=self.bi_encoder.compute_dtype)
 
     def forward_mlm(self, params, batch, *, deterministic=False, rng=None):
         """MLM with image-CLS fusion (bi_encoder.py:366-389).
@@ -306,22 +347,12 @@ class BiEncoderForPretraining:
         txt_cls = txt_seq[:, 0:1, :]
         seq = _cls_concat_fuse(img_seq, txt_cls, self.cls_concat)
         hidden = _gather_positions(seq, batch["img_masked_positions"])
-
-        heads = params["heads"]["feat_regress"]
-        cfg = self.cfg
-        dtype = self.bi_encoder.compute_dtype
-        h = gelu(enc._dense(heads["dense"], hidden, dtype))
-        h = layer_norm(h, heads["ln"]["scale"], heads["ln"]["bias"],
-                       cfg.layer_norm_eps)
-        # weight tied to img_linear (model.py:397-403): output = h @ W.T.T + b
-        # where img_linear kernel is [img_dim, H] in our layout, torch weight
-        # is [H, img_dim].T; F.linear(h, W.t()) = h @ W -> h @ kernel.T
-        img_linear_kernel = params["bert"]["img_model"]["img_embeddings"][
-            "img_linear"]["kernel"]  # [img_dim, H]
-        pred = (jnp.dot(h, img_linear_kernel.T.astype(dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=enc.matmul_precision(dtype))
-                + heads["bias"])
+        # weight tied to img_linear (model.py:397-403)
+        pred = apply_feat_regress(
+            params["heads"]["feat_regress"], hidden,
+            params["bert"]["img_model"]["img_embeddings"]["img_linear"][
+                "kernel"],
+            eps=self.cfg.layer_norm_eps, dtype=self.bi_encoder.compute_dtype)
         target = batch["feat_targets"].astype(jnp.float32)
         loss = jnp.square(pred - target)  # elementwise mse (reduction none)
         weights = batch["img_masked_weights"].astype(jnp.float32)
@@ -339,32 +370,11 @@ class BiEncoderForPretraining:
         txt_cls = txt_seq[:, 0:1, :]
         seq = _cls_concat_fuse(img_seq, txt_cls, self.cls_concat)
         hidden = _gather_positions(seq, batch["img_masked_positions"])
-
-        heads = params["heads"]["region_classifier"]
-        cfg = self.cfg
-        dtype = self.bi_encoder.compute_dtype
-        h = gelu(enc._dense(heads["dense"], hidden, dtype))
-        h = layer_norm(h, heads["ln"]["scale"], heads["ln"]["bias"],
-                       cfg.layer_norm_eps)
-        logits = enc._dense(heads["out"], h, dtype).astype(jnp.float32)
-
-        label_targets = batch["label_targets"].astype(jnp.float32)
+        logits = apply_region_classifier(
+            params["heads"]["region_classifier"], hidden,
+            eps=self.cfg.layer_norm_eps, dtype=self.bi_encoder.compute_dtype)
         weights = batch["img_masked_weights"].astype(jnp.float32)
-        if "kl" in task:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            # F.kl_div(log_pred, target, reduction='none') =
-            #   target * (log(target) - log_pred), with 0 where target==0
-            safe_log = jnp.where(label_targets > 0,
-                                 jnp.log(jnp.maximum(label_targets, 1e-30)),
-                                 0.0)
-            loss = jnp.where(label_targets > 0,
-                             label_targets * (safe_log - logp), 0.0)
-        else:
-            # background class (index 0) excluded from the argmax target
-            hard = jnp.argmax(label_targets[:, :, 1:], axis=-1) + 1
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            loss = -jnp.take_along_axis(logp, hard[:, :, None],
-                                        axis=2)[:, :, 0]
+        loss = mrc_loss_from_logits(logits, batch["label_targets"], task)
         return loss, logits, weights
 
     def forward_itm(self, params, batch, *, deterministic=False, rng=None,

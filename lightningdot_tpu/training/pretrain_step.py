@@ -39,12 +39,13 @@ def task_loss(model: BiEncoderForPretraining, params, batch, task: str, rng,
         loss = weighted_mean(nll, w)
         correct = jnp.sum((jnp.argmax(logits, -1).reshape(-1)
                            == batch["masked_labels"].reshape(-1)) * w)
-        return loss, {"loss": loss, "acc": correct / jnp.maximum(w.sum(), 1)}
+        return loss, {"loss": loss, "acc": correct / jnp.maximum(w.sum(), 1),
+                      "_logits": logits, "_weights": w}
     if task == "mrfr":
-        mse, _, w = model.forward_mrfr(params, batch, rng=rng,
-                                       deterministic=deterministic)
+        mse, pred, w = model.forward_mrfr(params, batch, rng=rng,
+                                          deterministic=deterministic)
         loss = weighted_mean(mse, w)
-        return loss, {"loss": loss}
+        return loss, {"loss": loss, "_logits": pred, "_weights": w}
     if task.startswith("mrc"):
         kl, logits, w = model.forward_mrc(params, batch, task, rng=rng,
                                           deterministic=deterministic)
@@ -52,7 +53,8 @@ def task_loss(model: BiEncoderForPretraining, params, batch, task: str, rng,
         pred = jnp.argmax(logits[:, :, 1:], -1) + 1
         tgt = jnp.argmax(batch["label_targets"][:, :, 1:], -1) + 1
         acc = jnp.sum((pred == tgt) * w) / jnp.maximum(w.sum(), 1)
-        return loss, {"loss": loss, "acc": acc}
+        return loss, {"loss": loss, "acc": acc, "_logits": logits,
+                      "_weights": w}
     if task == "itm":
         nll, _, correct = model.forward_itm(params, batch, rng=rng,
                                             deterministic=deterministic,
@@ -64,9 +66,32 @@ def task_loss(model: BiEncoderForPretraining, params, batch, task: str, rng,
     raise ValueError(f"invalid task {task}")
 
 
+def kd_loss(teacher, teacher_params, batch, task: str, student_logits,
+            weights, *, T: float, kd_loss_weight: float) -> jnp.ndarray:
+    """Teacher distillation for pre-training (pretrain.py:409-428):
+    mse for mrfr feature regression, T^2-scaled KL otherwise; teacher runs
+    on the joint-input sub-batch under stop_gradient."""
+    t_logits = jax.lax.stop_gradient(
+        teacher.task_logits(teacher_params, batch["teacher"], task))
+    if task == "mrfr":
+        sq = jnp.square(t_logits / T - student_logits / T)
+        return kd_loss_weight * weighted_mean(sq, weights)
+    logp = jax.nn.log_softmax(student_logits / T, axis=-1)
+    q = jax.nn.softmax(t_logits / T, axis=-1)
+    safe_logq = jnp.where(q > 0, jnp.log(jnp.maximum(q, 1e-30)), 0.0)
+    kl = jnp.where(q > 0, q * (safe_logq - logp), 0.0)
+    if task == "mlm":
+        # student mlm logits come back flattened-compatible [B, M, V];
+        # weights is the flat [B*M] vector
+        kl = kl.reshape(weights.shape[0], -1)
+    return kd_loss_weight * T * T * weighted_mean(kl, weights)
+
+
 def make_pretrain_step(model: BiEncoderForPretraining,
                        tx: optax.GradientTransformation,
-                       accum_steps: int = 1) -> Tuple[Callable, Callable]:
+                       accum_steps: int = 1, *, teacher=None,
+                       teacher_params=None, kd_loss_weight: float = 1.0,
+                       kd_T: float = 1.0) -> Tuple[Callable, Callable]:
     """Returns (init_state, step_fn(task)(state, batch, rng))."""
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
@@ -81,7 +106,21 @@ def make_pretrain_step(model: BiEncoderForPretraining,
         if fn is None:
             def train_step(state: TrainState, batch, rng):
                 def loss_fn(params):
-                    return task_loss(model, params, batch, task, rng)
+                    loss, metrics = task_loss(model, params, batch, task, rng)
+                    # KD for non-itm tasks only (pretrain.py:402-429)
+                    if teacher is not None and task != "itm" \
+                            and "teacher" in batch:
+                        kd = kd_loss(teacher, teacher_params, batch, task,
+                                     metrics.pop("_logits"),
+                                     metrics.pop("_weights"),
+                                     T=kd_T, kd_loss_weight=kd_loss_weight)
+                        metrics["kd_loss"] = kd
+                        loss = loss + kd
+                        metrics["loss"] = loss
+                    else:
+                        metrics.pop("_logits", None)
+                        metrics.pop("_weights", None)
+                    return loss, metrics
 
                 grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state,
@@ -107,6 +146,8 @@ def make_validate_fn(model: BiEncoderForPretraining) -> Callable:
             def val_step(params, batch):
                 loss, metrics = task_loss(model, params, batch, task,
                                           rng=None, deterministic=True)
+                metrics.pop("_logits", None)
+                metrics.pop("_weights", None)
                 return metrics
 
             fn = jax.jit(val_step)
