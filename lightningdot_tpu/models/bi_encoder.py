@@ -377,6 +377,11 @@ class BiEncoderForPretraining:
         loss = mrc_loss_from_logits(logits, batch["label_targets"], task)
         return loss, logits, weights
 
+    def forward_mrm_nce(self, *args, **kwargs):
+        """MRM-NCE is dead in the reference too (bi_encoder.py:341:
+        ``raise NotImplementedError('nce does not work')``)."""
+        raise NotImplementedError("nce does not work")
+
     def forward_itm(self, params, batch, *, deterministic=False, rng=None,
                     compute_loss=True):
         """Bidirectional in-batch contrastive ITM (bi_encoder.py:484-530).
