@@ -57,7 +57,8 @@ def evaluate(args, split: str = "test"):
     result = eval_model_on_dataloader(
         model, params, loader, img2txt=img2txt,
         vector_size=model.txt_cfg.out_size,
-        caption_score_weight=args.caption_score_weight)
+        caption_score_weight=args.caption_score_weight,
+        hnsw=args.hnsw_index)
     LOGGER.info("eval %s: time cost = %.1fs", split, time.time() - t0)
     recall_txt, recall_img = result.recall
     LOGGER.info("%s: loss=%.4f correct_ratio=%.4f", split, result.loss,

@@ -10,3 +10,4 @@ an all-gather merge over ICI.
 from lightningdot_tpu.index.dense import (  # noqa: F401
     DenseFlatIndex, DenseFlatIndexer, DenseShardedIndex,
 )
+from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer  # noqa: F401

@@ -76,7 +76,7 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
                              num_tops: int = 100, no_eval: bool = False,
                              vector_size: int = 768,
                              caption_score_weight: float = 0.0,
-                             mesh=None) -> EvalResult:
+                             mesh=None, hnsw: bool = False) -> EvalResult:
     """trainer.py:113-190 semantics."""
     encoder = BatchEncoder(model, params)
     total_loss, total_correct, batches, total_samples = 0.0, 0, 0, 0
@@ -113,6 +113,9 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
     img_embedding = {f: v for f, v in zip(img_fnames, img_np)}
 
     def make_index():
+        if hnsw:  # trainer.py:97-100,122-127: args.hnsw_index switch
+            from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
+            return DenseHNSWFlatIndexer(vector_size)
         if mesh is not None:
             return DenseShardedIndex(vector_size, mesh)
         return DenseFlatIndex(vector_size)

@@ -1,0 +1,302 @@
+// hnsw: a compact HNSW approximate-nearest-neighbor index (L2 metric).
+//
+// Native replacement for faiss::IndexHNSWFlat as used by the reference's
+// DenseHNSWFlatIndexer (dvl/indexer/faiss_indexers.py:90-155): L2-only, so
+// the Python wrapper applies the same dot-product -> L2 aux-dimension
+// transform the reference uses. Parameters mirror the reference defaults
+// (M="store_n", efSearch, efConstruction).
+//
+// Algorithm: Malkov & Yashunin (2016). Geometric level assignment
+// (mL = 1/ln(M)), greedy descent on upper layers, ef-bounded best-first
+// search on the insertion/search layer, simple closest-M neighbor selection
+// with bidirectional links and pruning.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Pair {
+  float dist;
+  int32_t id;
+};
+struct Nearer {  // min-heap on dist
+  bool operator()(const Pair& a, const Pair& b) const {
+    return a.dist > b.dist;
+  }
+};
+struct Farther {  // max-heap on dist
+  bool operator()(const Pair& a, const Pair& b) const {
+    return a.dist < b.dist;
+  }
+};
+
+class HNSW {
+ public:
+  HNSW(int dim, int M, int ef_construction)
+      : dim_(dim),
+        M_(M),
+        maxM_(M),
+        maxM0_(2 * M),
+        efc_(ef_construction),
+        mult_(1.0 / std::log(std::max(2, M))),
+        rng_(42) {}
+
+  int dim_;
+  int M_, maxM_, maxM0_, efc_;
+  double mult_;
+  std::mt19937_64 rng_;
+  int entry_ = -1;
+  int max_level_ = -1;
+  std::vector<float> data_;                         // n * dim
+  std::vector<int> levels_;                         // per node
+  // links_[l][node] = neighbor vector; level 0 stored in links0_
+  std::vector<std::vector<std::vector<int32_t>>> upper_links_;
+  std::vector<std::vector<int32_t>> links0_;
+  std::vector<uint32_t> visited_;
+  uint32_t visit_tag_ = 0;
+
+  int size() const { return static_cast<int>(levels_.size()); }
+
+  float dist(const float* a, const float* b) const {
+    float s = 0.f;
+    for (int i = 0; i < dim_; ++i) {
+      const float d = a[i] - b[i];
+      s += d * d;
+    }
+    return s;
+  }
+  const float* vec(int id) const { return data_.data() + (size_t)id * dim_; }
+
+  std::vector<int32_t>& neighbors(int node, int level) {
+    if (level == 0) return links0_[node];
+    return upper_links_[level - 1][node];
+  }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = u(rng_);
+    if (r < 1e-12) r = 1e-12;
+    return static_cast<int>(-std::log(r) * mult_);
+  }
+
+  // greedy single-step descent on one level
+  int greedy(const float* q, int start, int level) {
+    int cur = start;
+    float cur_d = dist(q, vec(cur));
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (int32_t nb : neighbors(cur, level)) {
+        const float d = dist(q, vec(nb));
+        if (d < cur_d) {
+          cur_d = d;
+          cur = nb;
+          improved = true;
+        }
+      }
+    }
+    return cur;
+  }
+
+  // ef-bounded best-first search on `level`; returns up to ef closest
+  std::vector<Pair> search_layer(const float* q, int start, int ef,
+                                 int level) {
+    if (++visit_tag_ == 0) {
+      std::fill(visited_.begin(), visited_.end(), 0);
+      visit_tag_ = 1;
+    }
+    visited_.resize(size(), 0);
+
+    std::priority_queue<Pair, std::vector<Pair>, Nearer> candidates;
+    std::priority_queue<Pair, std::vector<Pair>, Farther> results;
+    const float d0 = dist(q, vec(start));
+    candidates.push({d0, start});
+    results.push({d0, start});
+    visited_[start] = visit_tag_;
+
+    while (!candidates.empty()) {
+      Pair c = candidates.top();
+      if (c.dist > results.top().dist && (int)results.size() >= ef) break;
+      candidates.pop();
+      for (int32_t nb : neighbors(c.id, level)) {
+        if (visited_[nb] == visit_tag_) continue;
+        visited_[nb] = visit_tag_;
+        const float d = dist(q, vec(nb));
+        if ((int)results.size() < ef || d < results.top().dist) {
+          candidates.push({d, nb});
+          results.push({d, nb});
+          if ((int)results.size() > ef) results.pop();
+        }
+      }
+    }
+    std::vector<Pair> out;
+    out.reserve(results.size());
+    while (!results.empty()) {
+      out.push_back(results.top());
+      results.pop();
+    }
+    std::reverse(out.begin(), out.end());  // nearest first
+    return out;
+  }
+
+  void connect(int node, std::vector<Pair>& cands, int level) {
+    const int maxm = level == 0 ? maxM0_ : maxM_;
+    // closest-M selection
+    const int m = std::min<int>(M_, cands.size());
+    auto& nbrs = neighbors(node, level);
+    nbrs.clear();
+    for (int i = 0; i < m; ++i) nbrs.push_back(cands[i].id);
+    // back links with pruning
+    for (int i = 0; i < m; ++i) {
+      auto& back = neighbors(cands[i].id, level);
+      back.push_back(node);
+      if ((int)back.size() > maxm) {
+        // keep the maxm closest to cands[i]
+        const float* base = vec(cands[i].id);
+        std::partial_sort(back.begin(), back.begin() + maxm, back.end(),
+                          [&](int32_t a, int32_t b) {
+                            return dist(base, vec(a)) < dist(base, vec(b));
+                          });
+        back.resize(maxm);
+      }
+    }
+  }
+
+  void add(const float* v) {
+    const int id = size();
+    data_.insert(data_.end(), v, v + dim_);
+    const int level = random_level();
+    levels_.push_back(level);
+    links0_.emplace_back();
+    for (int l = (int)upper_links_.size(); l < level; ++l)
+      upper_links_.emplace_back(std::vector<std::vector<int32_t>>());
+    for (auto& layer : upper_links_) layer.resize(size());
+    visited_.resize(size(), 0);
+
+    if (entry_ < 0) {
+      entry_ = id;
+      max_level_ = level;
+      return;
+    }
+    int cur = entry_;
+    for (int l = max_level_; l > level; --l) cur = greedy(v, cur, l);
+    for (int l = std::min(level, max_level_); l >= 0; --l) {
+      auto cands = search_layer(v, cur, efc_, l);
+      connect(id, cands, l);
+      cur = cands.front().id;
+    }
+    if (level > max_level_) {
+      max_level_ = level;
+      entry_ = id;
+    }
+  }
+
+  int search(const float* q, int k, int ef, int32_t* out_ids,
+             float* out_dists) {
+    if (entry_ < 0) return 0;
+    int cur = entry_;
+    for (int l = max_level_; l > 0; --l) cur = greedy(q, cur, l);
+    auto res = search_layer(q, cur, std::max(ef, k), 0);
+    const int n = std::min<int>(k, res.size());
+    for (int i = 0; i < n; ++i) {
+      out_ids[i] = res[i].id;
+      out_dists[i] = res[i].dist;
+    }
+    return n;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_new(int dim, int M, int ef_construction) {
+  return new HNSW(dim, M, ef_construction);
+}
+
+void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
+
+void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
+  HNSW* idx = static_cast<HNSW*>(h);
+  for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim_);
+}
+
+int64_t hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
+
+int hnsw_search(void* h, const float* q, int k, int ef, int32_t* out_ids,
+                float* out_dists) {
+  return static_cast<HNSW*>(h)->search(q, k, ef, out_ids, out_dists);
+}
+
+// Serialization: flat binary dump.
+int hnsw_save(void* h, const char* path) {
+  HNSW* x = static_cast<HNSW*>(h);
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const int64_t n = x->size();
+  int64_t header[6] = {n, x->dim_, x->M_, x->efc_, x->entry_, x->max_level_};
+  fwrite(header, sizeof(header), 1, f);
+  fwrite(x->data_.data(), sizeof(float), n * x->dim_, f);
+  fwrite(x->levels_.data(), sizeof(int), n, f);
+  auto write_links = [&](const std::vector<std::vector<int32_t>>& layer) {
+    for (int64_t i = 0; i < n; ++i) {
+      const auto& v = i < (int64_t)layer.size() ? layer[i]
+                                                : std::vector<int32_t>{};
+      int32_t sz = v.size();
+      fwrite(&sz, sizeof(sz), 1, f);
+      fwrite(v.data(), sizeof(int32_t), sz, f);
+    }
+  };
+  int32_t n_layers = x->upper_links_.size();
+  fwrite(&n_layers, sizeof(n_layers), 1, f);
+  write_links(x->links0_);
+  for (auto& layer : x->upper_links_) write_links(layer);
+  fclose(f);
+  return 0;
+}
+
+void* hnsw_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  int64_t header[6];
+  if (fread(header, sizeof(header), 1, f) != 1) {
+    fclose(f);
+    return nullptr;
+  }
+  const int64_t n = header[0];
+  HNSW* x = new HNSW((int)header[1], (int)header[2], (int)header[3]);
+  x->entry_ = (int)header[4];
+  x->max_level_ = (int)header[5];
+  x->data_.resize(n * x->dim_);
+  x->levels_.resize(n);
+  size_t rd = fread(x->data_.data(), sizeof(float), n * x->dim_, f);
+  rd += fread(x->levels_.data(), sizeof(int), n, f);
+  (void)rd;
+  int32_t n_layers = 0;
+  rd = fread(&n_layers, sizeof(n_layers), 1, f);
+  auto read_links = [&](std::vector<std::vector<int32_t>>& layer) {
+    layer.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t sz = 0;
+      if (fread(&sz, sizeof(sz), 1, f) != 1) return;
+      layer[i].resize(sz);
+      if (sz && fread(layer[i].data(), sizeof(int32_t), sz, f) != (size_t)sz)
+        return;
+    }
+  };
+  read_links(x->links0_);
+  x->upper_links_.resize(n_layers);
+  for (auto& layer : x->upper_links_) read_links(layer);
+  x->visited_.resize(n, 0);
+  fclose(f);
+  return x;
+}
+
+}  // extern "C"

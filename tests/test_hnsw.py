@@ -1,0 +1,67 @@
+"""Native HNSW index: recall vs exact search, serialization."""
+import numpy as np
+import pytest
+
+from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer, hnsw_lib
+
+pytestmark = pytest.mark.skipif(hnsw_lib() is None,
+                                reason="native hnsw lib unavailable")
+
+
+def test_hnsw_recall_vs_exact(rng):
+    n, d = 2000, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    index = DenseHNSWFlatIndexer(d, store_n=32, ef_search=128,
+                                 ef_construction=200)
+    index.index_data(list(zip(ids, vecs)))
+    assert index.ntotal == n
+
+    q = rng.standard_normal((50, d)).astype(np.float32)
+    exact = np.argsort(-(q @ vecs.T), axis=1)[:, :10]
+    res = index.search_knn(q, 10)
+    recall = 0.0
+    for (got_ids, _), row in zip(res, exact):
+        truth = {f"v{j}" for j in row}
+        recall += len(truth & set(got_ids)) / 10
+    recall /= len(res)
+    # inner-product ANN via the L2 aux-dim trick: should be well above chance
+    assert recall > 0.85, recall
+
+
+def test_hnsw_top1_on_planted(rng):
+    n, d = 500, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = list(range(n))
+    index = DenseHNSWFlatIndexer(d, store_n=32)
+    index.index_data(list(zip(ids, vecs)))
+    # query near an existing vector (scaled up so IP clearly maximal)
+    q = vecs[123] * 2.0
+    res = index.search_knn(q, 5)
+    assert 123 in res[0][0][:3]
+
+
+def test_hnsw_one_shot_requirement(rng):
+    index = DenseHNSWFlatIndexer(8, store_n=8)
+    data = [(i, rng.standard_normal(8).astype(np.float32)) for i in range(10)]
+    index.index_data(data)
+    with pytest.raises(RuntimeError):
+        index.index_data(data)
+
+
+def test_hnsw_serialize_roundtrip(tmp_path, rng):
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    index = DenseHNSWFlatIndexer(d, store_n=16)
+    index.index_data(list(zip(range(n), vecs)))
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    before = [ids for ids, _ in index.search_knn(q, 5)]
+    f = str(tmp_path / "idx")
+    index.serialize(f)
+
+    index2 = DenseHNSWFlatIndexer(d, store_n=16)
+    index2.deserialize_from(f)
+    after = [ids for ids, _ in index2.search_knn(q, 5)]
+    assert before == after
+    with pytest.raises(RuntimeError):
+        index2.index_data([(0, vecs[0])])
