@@ -194,6 +194,29 @@ def parse_with_config(parser: argparse.ArgumentParser,
     return args
 
 
+def map_db_dirs(args: argparse.Namespace) -> None:
+    """Container path remapping (dvl/options.py:112-132): rewrite
+    /pretrain, /db and /img prefixes via the *_mapping flags."""
+    for k, v in list(vars(args).items()):
+        if not isinstance(v, str):
+            continue
+        if v.startswith("/pretrain") and getattr(args, "pretrain_mapping",
+                                                 None):
+            setattr(args, k, v.replace("/pretrain", args.pretrain_mapping, 1))
+        if v.startswith("/db") and getattr(args, "txt_db_mapping", None):
+            setattr(args, k, v.replace("/db", args.txt_db_mapping, 1))
+        if v.startswith("/img") and getattr(args, "img_db_mapping", None):
+            setattr(args, k, v.replace("/img", args.img_db_mapping, 1))
+    if getattr(args, "img_db_mapping", None) and \
+            isinstance(getattr(args, "train_img_dbs", None), list):
+        args.train_img_dbs = [p.replace("/img", args.img_db_mapping, 1)
+                              for p in args.train_img_dbs]
+    if getattr(args, "txt_db_mapping", None) and \
+            isinstance(getattr(args, "train_txt_dbs", None), list):
+        args.train_txt_dbs = [p.replace("/db", args.txt_db_mapping, 1)
+                              for p in args.train_txt_dbs]
+
+
 def print_args(args: Any, log=print) -> None:
     """Configuration banner (dvl/options.py:137-142)."""
     log(" **************** CONFIGURATION **************** ")

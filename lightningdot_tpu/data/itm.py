@@ -180,6 +180,73 @@ def itm_fast_collate(items: List[Dict[str, Any]],
     }
 
 
+class ItmValDataset:
+    """Per-text candidate minibatches for cross-encoder evaluation.
+
+    Parity: dvl/data/itm.py:291-363 — item i yields the ground-truth image
+    followed by ``mini_batch_size - 1`` fixed negatives (the images that
+    follow the gt in corpus order, wrapped), each paired with text i, as a
+    joint cross-encoder batch.
+    """
+
+    def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
+                 mini_batch_size: int = 400):
+        self.txt_db = txt_db
+        self.img_db = img_db
+        _, self.ids = get_ids_and_lens(txt_db)
+        self.txt2img = txt_db.txt2img
+        self.img2txts = txt_db.img2txts
+        self.all_img_ids = list(self.img2txts.keys())
+        assert len(self.img2txts) >= mini_batch_size > 0
+        self.bs = mini_batch_size
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _get_batch_ids(self, i: int):
+        """itm.py:303-322."""
+        gt_txt_id = self.ids[i]
+        gt_img_id = self.txt2img[gt_txt_id]
+        j = self.all_img_ids.index(gt_img_id)
+        neg_st = j + 1
+        neg_end = neg_st + self.bs - 1
+        if neg_end > len(self.all_img_ids):
+            neg_end -= len(self.all_img_ids)
+            neg_img_ids = (self.all_img_ids[neg_st:]
+                           + self.all_img_ids[:neg_end])
+        else:
+            neg_img_ids = self.all_img_ids[neg_st:neg_end]
+        assert len(neg_img_ids) == self.bs - 1
+        return gt_img_id, neg_img_ids
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        gt_img_id, neg_img_ids = self._get_batch_ids(i)
+        img_ids = [gt_img_id] + neg_img_ids
+        ex = self.txt_db[self.ids[i]]
+        input_ids = self.txt_db.combine_inputs(ex["input_ids"])
+
+        feats, poss, nbbs = [], [], []
+        for im in img_ids:
+            f, p, n = self.img_db.get_img_feat(im)
+            feats.append(f)
+            poss.append(p)
+            nbbs.append(n)
+        n = len(img_ids)
+        L = len(input_ids)
+        R = max(nbbs)
+        return {
+            "input_ids": pad_ids([input_ids] * n, L),
+            "position_ids": position_ids(n, L),
+            "img_feat": pad_feats(feats, R),
+            "img_pos_feat": pad_feats(poss, R),
+            "attn_masks_text": np.ones((n, L), np.int32),
+            "attn_masks_img": pad_mask(nbbs, R),
+            "gather_index": None,
+            "img_ids": img_ids,
+            "txt_id": self.ids[i],
+        }
+
+
 def make_teacher_batch(batch: Dict[str, Any], n_teacher: int
                        ) -> Dict[str, np.ndarray]:
     """Cross-encoder KD sub-batch (itm_fast_collate_kd, dvl/data/itm.py:165-173).

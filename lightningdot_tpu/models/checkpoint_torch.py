@@ -218,3 +218,84 @@ def load_biencoder_checkpoint(path: str, *, num_layers: int = 12
     sd = load_torch_state_dict(path)
     logger.info("loaded %d tensors from %s", len(sd), path)
     return map_bi_encoder(sd, num_layers=num_layers)
+
+
+# ---------------------------------------------------------------------------
+# Export (JAX pytree -> torch-layout state dict) — migration/round-trip aid
+# ---------------------------------------------------------------------------
+
+def _export_lin(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _export_ln(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_tower(tower: Mapping[str, Any], *, with_img: bool
+                 ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`map_tower` (keys in the reference torch layout)."""
+    sd: Dict[str, np.ndarray] = {}
+    emb = tower["embeddings"]
+    sd["bert.embeddings.word_embeddings.weight"] = np.asarray(emb["word"])
+    sd["bert.embeddings.position_embeddings.weight"] = np.asarray(
+        emb["position"])
+    sd["bert.embeddings.token_type_embeddings.weight"] = np.asarray(
+        emb["token_type"])
+    _export_ln(sd, "bert.embeddings.LayerNorm", emb["ln"])
+
+    import jax
+
+    num_layers = jax.tree.leaves(tower["layers"])[0].shape[0]
+    for i in range(num_layers):
+        lp = jax.tree.map(lambda x: np.asarray(x)[i], tower["layers"])
+        p = f"bert.encoder.layer.{i}"
+        _export_lin(sd, f"{p}.attention.self.query", lp["attn"]["query"])
+        _export_lin(sd, f"{p}.attention.self.key", lp["attn"]["key"])
+        _export_lin(sd, f"{p}.attention.self.value", lp["attn"]["value"])
+        _export_lin(sd, f"{p}.attention.output.dense", lp["attn"]["output"])
+        _export_ln(sd, f"{p}.attention.output.LayerNorm", lp["attn"]["ln"])
+        _export_lin(sd, f"{p}.intermediate.dense", lp["mlp"]["intermediate"])
+        _export_lin(sd, f"{p}.output.dense", lp["mlp"]["output"])
+        _export_ln(sd, f"{p}.output.LayerNorm", lp["mlp"]["ln"])
+
+    if "pooler" in tower:
+        _export_lin(sd, "bert.pooler.dense", tower["pooler"])
+    if with_img and "img_embeddings" in tower:
+        ie = tower["img_embeddings"]
+        _export_lin(sd, "bert.img_embeddings.img_linear", ie["img_linear"])
+        _export_ln(sd, "bert.img_embeddings.img_layer_norm", ie["img_ln"])
+        _export_lin(sd, "bert.img_embeddings.pos_linear", ie["pos_linear"])
+        _export_ln(sd, "bert.img_embeddings.pos_layer_norm", ie["pos_ln"])
+        sd["bert.img_embeddings.mask_embedding.weight"] = np.asarray(
+            ie["mask_embedding"])
+        _export_ln(sd, "bert.img_embeddings.LayerNorm", ie["ln"])
+    if "proj" in tower:
+        _export_lin(sd, "encode_proj.0", tower["proj"]["fc1"])
+        _export_ln(sd, "encode_proj.2", tower["proj"]["ln"])
+        _export_lin(sd, "encode_proj.3", tower["proj"]["fc2"])
+    return sd
+
+
+def export_bi_encoder(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """BiEncoder params -> fine-tune-layout state dict
+    ('txt_model.*'/'img_model.*')."""
+    sd = {}
+    for k, v in export_tower(params["txt_model"], with_img=False).items():
+        sd[f"txt_model.{k}"] = v
+    for k, v in export_tower(params["img_model"], with_img=True).items():
+        sd[f"img_model.{k}"] = v
+    return sd
+
+
+def save_biencoder_pt(path: str, params: Mapping[str, Any]) -> None:
+    """Write a torch-loadable CheckpointState file (trainer.py:44-63)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_bi_encoder(params).items()}
+    torch.save({"model_dict": sd, "optimizer_dict": None,
+                "scheduler_dict": None, "offset": 0, "epoch": 0,
+                "encoder_params": None}, path)

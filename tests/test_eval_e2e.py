@@ -88,3 +88,19 @@ def test_eval_cli_end_to_end(synth, tmp_path_factory, capsys):
     ])
     assert results2["test"]["recall_txt"] == r["recall_txt"]
     assert abs(results2["test"]["loss"] - r["loss"]) < 1e-6
+
+
+def test_itm_val_dataset(synth):
+    from lightningdot_tpu.data.itm import ItmValDataset
+
+    txt_dir, img_dir = synth
+    txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
+    img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=20, min_bb=5)
+    ds = ItmValDataset(txt_db, img_db, mini_batch_size=6)
+    item = ds[0]
+    # gt image first, then 5 wrapped negatives; same text paired with each
+    assert item["img_ids"][0] == txt_db.txt2img[ds.ids[0]]
+    assert len(item["img_ids"]) == 6
+    assert item["input_ids"].shape[0] == 6
+    assert (item["input_ids"] == item["input_ids"][0]).all()
+    assert item["img_feat"].shape[0] == 6
