@@ -23,6 +23,7 @@ from lightningdot_tpu.models.factory import build_biencoder
 from lightningdot_tpu.training.evaluator import eval_model_on_dataloader
 from lightningdot_tpu.training.trainer_utils import build_dataloader, load_dataset
 from lightningdot_tpu.utils.logging import LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,8 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def evaluate(args, split: str = "test"):
     """EVAL_MODEL equivalent (eval_itm.py:28-181)."""
-    from lightningdot_tpu.ops.backend import set_backend
-    set_backend(getattr(args, "kernel_backend", "auto"))
+    setup_runtime(args)
 
     model, params = build_biencoder(args, seed=args.seed)
 

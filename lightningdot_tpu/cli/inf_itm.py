@@ -20,6 +20,7 @@ from lightningdot_tpu.data.txt_db import TxtTokDb
 from lightningdot_tpu.models.factory import resolve_encoder_config
 from lightningdot_tpu.training.cross_scorer import CrossScorer
 from lightningdot_tpu.utils.logging import LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 from lightningdot_tpu.utils.metrics import itm_eval
 
 
@@ -44,6 +45,7 @@ def build_parser():
 def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
     print_args(args, LOGGER.info)
+    setup_runtime(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax

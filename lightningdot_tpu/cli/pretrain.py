@@ -43,6 +43,7 @@ from lightningdot_tpu.training.optim import get_lr_sched, make_optimizer
 from lightningdot_tpu.training.pretrain_step import (make_pretrain_step,
                                                      make_validate_fn)
 from lightningdot_tpu.utils.logging import LOGGER, RunningMeter, TB_LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser():
@@ -156,8 +157,7 @@ def main(cmds=None):
     os.makedirs(args.output_dir, exist_ok=True)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
 
-    from lightningdot_tpu.ops.backend import set_backend
-    set_backend(args.kernel_backend)
+    setup_runtime(args)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32

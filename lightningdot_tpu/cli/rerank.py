@@ -34,6 +34,7 @@ from lightningdot_tpu.training.cross_scorer import CrossScorer
 from lightningdot_tpu.training.evaluator import eval_model_on_dataloader
 from lightningdot_tpu.training.trainer_utils import build_dataloader, load_dataset
 from lightningdot_tpu.utils.logging import LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 
 RECALL_TOPS = (1, 5, 10, 20, 50, 100)
 RERANK_THRESHOLDS = (10, 20, 50, 100)
@@ -54,8 +55,7 @@ def build_parser():
 def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
     print_args(args, LOGGER.info)
-    from lightningdot_tpu.ops.backend import set_backend
-    set_backend(getattr(args, "kernel_backend", "auto"))
+    setup_runtime(args)
 
     model, params = build_biencoder(args, seed=args.seed)
     vector_size = model.txt_cfg.out_size

@@ -36,7 +36,9 @@ from lightningdot_tpu.training.itm_step import (create_train_state,
                                                 make_itm_train_step)
 from lightningdot_tpu.training.optim import make_optimizer, schedule_linear
 from lightningdot_tpu.training.trainer_utils import build_dataloader, load_dataset
-from lightningdot_tpu.utils.logging import LOGGER, RunningMeter, TB_LOGGER
+from lightningdot_tpu.utils.logging import LOGGER
+from lightningdot_tpu.utils.logging import RunningMeter, TB_LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -83,8 +85,7 @@ def main(cmds=None):
     print_args(args, LOGGER.info)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
 
-    from lightningdot_tpu.ops.backend import set_backend
-    set_backend(getattr(args, "kernel_backend", "auto"))
+    setup_runtime(args)
     rng_py = random.Random(args.seed)
     np.random.seed(args.seed)
 

@@ -27,6 +27,7 @@ from lightningdot_tpu.training.checkpoints import save_checkpoint
 from lightningdot_tpu.training.itm_step import TrainState, create_train_state
 from lightningdot_tpu.training.optim import make_optimizer, schedule_linear
 from lightningdot_tpu.utils.logging import LOGGER
+from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser():
@@ -64,6 +65,7 @@ def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
+    setup_runtime(args)
 
     import jax.numpy as jnp
 
