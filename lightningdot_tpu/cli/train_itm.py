@@ -190,6 +190,10 @@ def main(cmds=None):
         train_dataloader = build_dataloader(train_dataset, collate, True, args)
         t0 = time.time()
         n_ex = 0
+        # host pulls are expensive on remote-attached TPUs: log the metrics
+        # of the PREVIOUS log interval (already materialized) rather than
+        # synchronizing on the step just dispatched
+        pending = None
         for step, batch in enumerate(train_dataloader):
             if teacher is not None:
                 batch["teacher"] = make_teacher_batch(batch, n_teacher=10)
@@ -198,17 +202,20 @@ def main(cmds=None):
             global_step += 1
             n_ex += batch["n_valid"]
             if (step + 1) % args.log_result_step == 0:
-                loss = float(metrics["loss"])
-                loss_meter(loss)
-                lr = float(lr_schedule(global_step))
-                LOGGER.info(
-                    "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
-                    "(%.1f ex/s)", epoch, step + 1, len(train_dataloader),
-                    loss, float(metrics["acc"]), lr,
-                    n_ex / max(time.time() - t0, 1e-6))
-                TB_LOGGER.set_step(global_step)
-                TB_LOGGER.log_metric("loss_train", loss)
-                TB_LOGGER.log_metric("lr", lr)
+                if pending is not None:
+                    loss = float(pending["loss"])
+                    loss_meter(loss)
+                    lr = float(lr_schedule(global_step))
+                    LOGGER.info(
+                        "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
+                        "(%.1f ex/s)", epoch, step + 1,
+                        len(train_dataloader), loss,
+                        float(pending["acc"]), lr,
+                        n_ex / max(time.time() - t0, 1e-6))
+                    TB_LOGGER.set_step(global_step)
+                    TB_LOGGER.log_metric("loss_train", loss)
+                    TB_LOGGER.log_metric("lr", lr)
+                pending = metrics
 
         # eval and save (train_itm.py:313-349)
         result = eval_model_on_dataloader(

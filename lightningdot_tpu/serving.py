@@ -27,11 +27,13 @@ class Retriever:
     """Serve text->image retrieval against a pre-encoded corpus."""
 
     def __init__(self, model: BiEncoder, params, tokenizer,
-                 query_buckets: Sequence[int] = QUERY_LEN_BUCKETS):
+                 query_buckets: Sequence[int] = QUERY_LEN_BUCKETS,
+                 mesh=None):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.query_buckets = query_buckets
+        self.mesh = mesh               # shard the corpus over a dp mesh
         self._corpus = None            # [N_pad, D] device array
         self._ids: List[Any] = []
         self._fns: Dict[int, Any] = {}
@@ -39,13 +41,24 @@ class Retriever:
     # -- corpus --------------------------------------------------------------
     def set_corpus(self, ids: Sequence[Any], vectors: np.ndarray) -> None:
         n = vectors.shape[0]
-        n_pad = -(-n // 128) * 128
+        align = 128 * (self.mesh.devices.size if self.mesh is not None else 1)
+        n_pad = -(-n // align) * align
         mat = np.zeros((n_pad, vectors.shape[1]), np.float32)
         mat[:n] = vectors
         bias = np.zeros((n_pad,), np.float32)
         bias[n:] = -1e30
-        self._corpus = jnp.asarray(mat)
-        self._bias = jnp.asarray(bias)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from lightningdot_tpu.parallel.mesh import DP_AXIS
+
+            self._corpus = jax.device_put(
+                mat, NamedSharding(self.mesh, P(DP_AXIS, None)))
+            self._bias = jax.device_put(
+                bias, NamedSharding(self.mesh, P(DP_AXIS)))
+        else:
+            self._corpus = jnp.asarray(mat)
+            self._bias = jnp.asarray(bias)
         self._ids = list(ids)
         self._fns.clear()
 
@@ -84,20 +97,28 @@ class Retriever:
     def retrieve_query(self, query: str, top: int = 100
                        ) -> List[Tuple[Any, float]]:
         """dvl/utils.py:204-211 semantics -> [(db_id, score)] ranked."""
-        token_ids = self.tokenizer.encode(query)
+        return self.retrieve_batch([query], top=top)[0]
+
+    def retrieve_batch(self, queries: Sequence[str], top: int = 100
+                       ) -> List[List[Tuple[Any, float]]]:
+        """Batched query path (one fused program per shape bucket)."""
         from lightningdot_tpu.data.padding import bucket_len
 
-        L = bucket_len(len(token_ids), self.query_buckets)
-        ids = np.zeros((1, L), np.int32)
-        ids[0, :len(token_ids)] = token_ids[:L]
-        mask = np.zeros((1, L), np.int32)
-        mask[0, :len(token_ids)] = 1
+        token_lists = [self.tokenizer.encode(q) for q in queries]
+        L = bucket_len(max(len(t) for t in token_lists), self.query_buckets)
+        n = len(queries)
+        ids = np.zeros((n, L), np.int32)
+        mask = np.zeros((n, L), np.int32)
+        for i, t in enumerate(token_lists):
+            ids[i, :len(t)] = t[:L]
+            mask[i, :len(t)] = 1
         k = min(top, len(self._ids))
         scores, idx = self._query_fn(L, k)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), self._corpus,
             self._bias)
-        scores, idx = np.asarray(scores)[0], np.asarray(idx)[0]
-        return [(self._ids[i], float(s)) for i, s in zip(idx, scores)]
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        return [[(self._ids[i], float(s)) for i, s in zip(row_i, row_s)]
+                for row_i, row_s in zip(idx, scores)]
 
 
 def get_model_encoded_vecs(model: BiEncoder, params, dataloader

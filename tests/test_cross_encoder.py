@@ -137,3 +137,36 @@ def test_kd_loss_runs(rng):
     batch_j = jax.tree.map(jnp.asarray, batch)
     loss = kd_fn(None, batch_j, (txt, img))
     assert np.isfinite(float(loss)) and float(loss) >= 0
+
+
+def test_kd_formula_matches_torch(rng):
+    """KD KL term matches nn.KLDivLoss()(log_softmax(s/T), softmax(t/T))*T^2
+    (train_itm.py:237-239)."""
+    import torch
+    import torch.nn.functional as F
+
+    from lightningdot_tpu.training.itm_step import make_kd_fn
+
+    nt, bs = 3, 6
+    student = rng.standard_normal((bs, bs)).astype(np.float32)
+    t_scores = rng.standard_normal((bs * nt, 1)).astype(np.float32)
+    T = 2.0
+
+    class StubTeacher:
+        def rank_scores(self, params, batch, deterministic=True):
+            return jnp.asarray(t_scores)
+
+    kd_fn = make_kd_fn(StubTeacher(), None, T=T, n_teacher=nt)
+    txt = rng.standard_normal((bs, 8)).astype(np.float32)
+    img = rng.standard_normal((bs, 8)).astype(np.float32)
+    batch = {"teacher": {"input_ids": np.zeros((bs * nt, 4), np.int32)}}
+    ours = float(kd_fn(None, batch, (jnp.asarray(txt), jnp.asarray(img))))
+
+    s = txt @ img.T
+    blended = 0.5 * (s + s.T)
+    student_rows = torch.from_numpy(blended[:nt])
+    teacher_rows = torch.from_numpy(t_scores.reshape(bs, nt).T.copy())
+    ref = torch.nn.KLDivLoss()(
+        F.log_softmax(student_rows / T, dim=1),
+        F.softmax(teacher_rows / T, dim=1)) * T * T
+    assert abs(ours - float(ref)) < 1e-5

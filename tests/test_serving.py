@@ -110,3 +110,36 @@ def test_misc_utils():
         p3["txt_model"]["pooler"]["bias"] + 1.0
     assert compare_models(p1, p3, verbose=False) == 1
     assert host_all_gather({"a": 1}) == [{"a": 1}]
+
+
+def test_retriever_sharded_corpus_matches_single(rng):
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    ids = [f"i{i}" for i in range(500)]
+    vecs = rng.standard_normal((500, 32)).astype(np.float32)
+
+    single = Retriever(model, params, FakeTokenizer())
+    single.set_corpus(ids, vecs)
+    sharded = Retriever(model, params, FakeTokenizer(),
+                        mesh=data_parallel_mesh())
+    sharded.set_corpus(ids, vecs)
+
+    for q in ["a dog", "two cats on a mat", "red car driving"]:
+        r1 = single.retrieve_query(q, top=10)
+        r2 = sharded.retrieve_query(q, top=10)
+        assert [i for i, _ in r1] == [i for i, _ in r2]
+
+
+def test_retrieve_batch(rng):
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    r = Retriever(model, params, FakeTokenizer())
+    ids = [f"i{i}" for i in range(200)]
+    r.set_corpus(ids, rng.standard_normal((200, 32)).astype(np.float32))
+    res = r.retrieve_batch(["a dog", "a cat sits"], top=7)
+    assert len(res) == 2 and all(len(x) == 7 for x in res)
+    # batch results match single-query results
+    r0 = r.retrieve_query("a dog", top=7)
+    assert [i for i, _ in res[0]] == [i for i, _ in r0]
