@@ -156,6 +156,8 @@ def main(cmds=None):
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
+    from lightningdot_tpu.training.checkpoints import save_training_meta
+    save_training_meta(args.output_dir, args)  # hps.json + git info
 
     setup_runtime(args)
     import jax.numpy as jnp

@@ -162,6 +162,12 @@ def main(cmds=None):
     lr_schedule = schedule_linear(args.learning_rate, warmup_steps,
                                   total_updates)
     tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
+    if args.gradient_accumulation_steps > 1:
+        # apply every k micro-batches (train_itm.py:245-252,287-289)
+        import optax
+
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=args.gradient_accumulation_steps)
 
     kd_fn = None
     if teacher is not None:

@@ -66,6 +66,39 @@ class TokenBucketSampler:
         return iter(batches)
 
 
+class DistributedSampler:
+    """Epoch-seeded per-rank index sampler (uniter sampler.py:59-116).
+
+    Mostly superseded by TxtTokDb's strided id sharding, but provided for
+    datasets that are not rank-sharded at the DB level.
+    """
+
+    def __init__(self, dataset_len: int, num_replicas: int, rank: int,
+                 shuffle: bool = True):
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.epoch = 0
+        self.num_samples = -(-dataset_len // num_replicas)
+        self.total_size = self.num_samples * num_replicas
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.num_samples
+
+    def __iter__(self):
+        indices = list(range(self.dataset_len))
+        indices += indices[:self.total_size - len(indices)]
+        indices = indices[self.rank:self.total_size:self.num_replicas]
+        if self.shuffle:
+            random.Random(self.epoch).shuffle(indices)
+        # yields single indices (use batch_size at the loader level)
+        return iter([[i] for i in indices])
+
+
 class DataLoader:
     """Minimal map-style loader: sampler/batching + threaded collate."""
 

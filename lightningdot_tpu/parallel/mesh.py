@@ -87,6 +87,20 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(put, batch)
 
 
+def assert_same_across_hosts(value, what: str = "value") -> None:
+    """Guard against cross-host divergence (replaces the reference's
+    same-task assertion via all_gather_list, pretrain.py:392)."""
+    if jax.process_count() == 1:
+        return
+    from lightningdot_tpu.utils.misc import host_all_gather
+
+    gathered = host_all_gather(value)
+    if any(g != value for g in gathered):
+        raise RuntimeError(
+            f"hosts out of sync on {what}: {gathered} — workers must enter "
+            "collectives together (check seeds / data sharding)")
+
+
 def replicate(mesh: Mesh, tree):
     """device_put a pytree fully replicated over the mesh."""
     return jax.tree.map(

@@ -83,6 +83,30 @@ def load_checkpoint(path: str, *, model_template, optimizer_template=None
     return model, opt, meta
 
 
+def save_training_meta(output_dir: str, args) -> None:
+    """Dump hps.json + git info (uniter_model/utils/save.py:15-52)."""
+    import subprocess
+
+    os.makedirs(os.path.join(output_dir, "log"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
+    hps = {k: v for k, v in vars(args).items()
+           if isinstance(v, (int, float, str, bool, list, dict, type(None)))}
+    with open(os.path.join(output_dir, "log", "hps.json"), "w") as f:
+        json.dump(hps, f, indent=4)
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+        status = subprocess.run(["git", "status", "--short"],
+                                capture_output=True, text=True,
+                                timeout=10).stdout
+        with open(os.path.join(output_dir, "log", "git_info.json"),
+                  "w") as f:
+            json.dump({"git_sha": sha, "git_status": status}, f, indent=4)
+    except Exception:
+        pass
+
+
 class ModelSaver:
     """Step-numbered saver (save.py:55-76)."""
 

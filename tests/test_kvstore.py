@@ -76,3 +76,38 @@ def test_txt_db_rank_sharding(tmp_path):
     # strided, disjoint, covering (data.py:185-187)
     assert sorted(sum(shards, [])) == sorted(full.ids)
     assert shards[0] == full.ids[0::4]
+
+
+def test_distributed_sampler_partition():
+    from lightningdot_tpu.data.loader import DistributedSampler
+
+    n, world = 10, 4
+    all_idx = []
+    for rank in range(world):
+        s = DistributedSampler(n, world, rank, shuffle=False)
+        idx = [i for batch in s for i in batch]
+        assert len(idx) == len(s) == 3
+        all_idx.extend(idx)
+    # covers every index (with wrap-around padding), disjoint per rank
+    assert set(all_idx) == set(range(n))
+
+    s0 = DistributedSampler(100, 2, 0, shuffle=True)
+    s0.set_epoch(1)
+    e1 = [i for b in s0 for i in b]
+    s0.set_epoch(2)
+    e2 = [i for b in s0 for i in b]
+    assert sorted(e1) == sorted(e2) and e1 != e2  # epoch-seeded shuffle
+
+
+def test_save_training_meta(tmp_path):
+    import argparse
+    import json as _json
+
+    from lightningdot_tpu.training.checkpoints import save_training_meta
+
+    args = argparse.Namespace(learning_rate=1e-4, seed=42, name="x",
+                              fn=print)  # non-serializable field dropped
+    save_training_meta(str(tmp_path), args)
+    hps = _json.load(open(tmp_path / "log" / "hps.json"))
+    assert hps["learning_rate"] == 1e-4 and "fn" not in hps
+    assert (tmp_path / "ckpt").is_dir()
