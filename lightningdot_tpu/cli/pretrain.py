@@ -156,10 +156,12 @@ def main(cmds=None):
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
-    from lightningdot_tpu.training.checkpoints import save_training_meta
-    save_training_meta(args.output_dir, args)  # hps.json + git info
 
     setup_runtime(args)
+    from lightningdot_tpu.parallel.mesh import is_main_process
+    if is_main_process():  # rank-0 only (save.py:15-18 semantics)
+        from lightningdot_tpu.training.checkpoints import save_training_meta
+        save_training_meta(args.output_dir, args)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32

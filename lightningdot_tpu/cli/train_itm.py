@@ -211,7 +211,9 @@ def main(cmds=None):
                 if pending is not None:
                     loss = float(pending["loss"])
                     loss_meter(loss)
-                    lr = float(lr_schedule(global_step))
+                    # optimizer updates advance once per accum window
+                    n_updates = global_step // args.gradient_accumulation_steps
+                    lr = float(lr_schedule(n_updates))
                     LOGGER.info(
                         "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
                         "(%.1f ex/s)", epoch, step + 1,

@@ -67,18 +67,25 @@ class TokenBucketSampler:
 
 
 class DistributedSampler:
-    """Epoch-seeded per-rank index sampler (uniter sampler.py:59-116).
+    """Epoch-seeded per-rank batch sampler (uniter sampler.py:59-116).
 
     Mostly superseded by TxtTokDb's strided id sharding, but provided for
-    datasets that are not rank-sharded at the DB level.
+    datasets that are not rank-sharded at the DB level. Matching the
+    reference: the FULL index list is shuffled with an epoch-seeded RNG
+    before the rank partition, so examples redistribute across replicas
+    every epoch; wrap-around padding repeats until every rank has
+    ``num_samples`` indices.
     """
 
     def __init__(self, dataset_len: int, num_replicas: int, rank: int,
-                 shuffle: bool = True):
+                 batch_size: int = 1, shuffle: bool = True,
+                 drop_last: bool = False):
         self.dataset_len = dataset_len
         self.num_replicas = num_replicas
         self.rank = rank
+        self.batch_size = batch_size
         self.shuffle = shuffle
+        self.drop_last = drop_last
         self.epoch = 0
         self.num_samples = -(-dataset_len // num_replicas)
         self.total_size = self.num_samples * num_replicas
@@ -87,16 +94,24 @@ class DistributedSampler:
         self.epoch = epoch
 
     def __len__(self):
-        return self.num_samples
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return -(-self.num_samples // self.batch_size)
 
     def __iter__(self):
         indices = list(range(self.dataset_len))
-        indices += indices[:self.total_size - len(indices)]
-        indices = indices[self.rank:self.total_size:self.num_replicas]
         if self.shuffle:
+            # shuffle BEFORE partitioning (sampler.py:93-107 semantics)
             random.Random(self.epoch).shuffle(indices)
-        # yields single indices (use batch_size at the loader level)
-        return iter([[i] for i in indices])
+        while len(indices) < self.total_size:
+            indices += indices[:self.total_size - len(indices)]
+        indices = indices[self.rank:self.total_size:self.num_replicas]
+        assert len(indices) == self.num_samples
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
 
 
 class DataLoader:
@@ -134,7 +149,11 @@ class DataLoader:
 
     def __len__(self) -> int:
         if self.sampler is not None:
-            raise ValueError("length unknown with a token-bucket sampler")
+            try:
+                return len(self.sampler)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "length unknown with a token-bucket sampler")
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size

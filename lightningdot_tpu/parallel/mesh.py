@@ -89,16 +89,27 @@ def shard_batch(mesh: Mesh, batch):
 
 def assert_same_across_hosts(value, what: str = "value") -> None:
     """Guard against cross-host divergence (replaces the reference's
-    same-task assertion via all_gather_list, pretrain.py:392)."""
+    same-task assertion via all_gather_list, pretrain.py:392).
+
+    Works for any picklable value: hosts exchange a 64-bit digest (process
+    collectives only move arrays), so strings like task names are fine.
+    """
     if jax.process_count() == 1:
         return
-    from lightningdot_tpu.utils.misc import host_all_gather
+    import hashlib
+    import pickle
 
-    gathered = host_all_gather(value)
-    if any(g != value for g in gathered):
+    from jax.experimental import multihost_utils
+
+    digest = int.from_bytes(
+        hashlib.sha256(pickle.dumps(value)).digest()[:8], "big")
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.uint64(digest)))
+    if not (gathered == np.uint64(digest)).all():
         raise RuntimeError(
-            f"hosts out of sync on {what}: {gathered} — workers must enter "
-            "collectives together (check seeds / data sharding)")
+            f"hosts out of sync on {what} (digests {gathered.tolist()}) — "
+            "workers must enter collectives together (check seeds / data "
+            "sharding)")
 
 
 def replicate(mesh: Mesh, tree):

@@ -91,12 +91,27 @@ def test_distributed_sampler_partition():
     # covers every index (with wrap-around padding), disjoint per rank
     assert set(all_idx) == set(range(n))
 
-    s0 = DistributedSampler(100, 2, 0, shuffle=True)
-    s0.set_epoch(1)
-    e1 = [i for b in s0 for i in b]
-    s0.set_epoch(2)
-    e2 = [i for b in s0 for i in b]
-    assert sorted(e1) == sorted(e2) and e1 != e2  # epoch-seeded shuffle
+    # epoch-seeded full-list shuffle: a rank sees DIFFERENT examples each
+    # epoch, but across ranks each epoch still covers the whole dataset
+    def epoch_indices(epoch):
+        per_rank = []
+        for rank in range(2):
+            s = DistributedSampler(100, 2, rank, batch_size=8, shuffle=True)
+            s.set_epoch(epoch)
+            per_rank.append([i for b in s for i in b])
+        return per_rank
+
+    e1 = epoch_indices(1)
+    e2 = epoch_indices(2)
+    assert sorted(e1[0] + e1[1]) == list(range(100))
+    assert sorted(e2[0] + e2[1]) == list(range(100))
+    assert set(e1[0]) != set(e2[0])  # examples redistribute across epochs
+
+    # severe-imbalance case: more replicas than examples still gives every
+    # rank num_samples indices (wrap-around padding loops)
+    for rank in range(24):
+        s = DistributedSampler(10, 24, rank, shuffle=False)
+        assert len([i for b in s for i in b]) == 1
 
 
 def test_save_training_meta(tmp_path):
