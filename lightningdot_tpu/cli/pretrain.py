@@ -189,12 +189,16 @@ def main(cmds=None):
 
     if _maybe(getattr(args, "img_checkpoint", None)):
         sd = ckpt_torch.load_torch_state_dict(args.img_checkpoint)
-        params["bert"]["img_model"] = ckpt_torch.map_tower(
-            sd, with_img=True, num_layers=img_cfg.num_hidden_layers)
+        params["bert"]["img_model"] = {
+            **params["bert"]["img_model"],
+            **ckpt_torch.map_tower(sd, with_img=True,
+                                   num_layers=img_cfg.num_hidden_layers)}
     if _maybe(getattr(args, "txt_checkpoint", None)):
         sd = ckpt_torch.load_torch_state_dict(args.txt_checkpoint)
-        params["bert"]["txt_model"] = ckpt_torch.map_tower(
-            sd, with_img=False, num_layers=txt_cfg.num_hidden_layers)
+        params["bert"]["txt_model"] = {
+            **params["bert"]["txt_model"],
+            **ckpt_torch.map_tower(sd, with_img=False,
+                                   num_layers=txt_cfg.num_hidden_layers)}
     params = jax.tree.map(jnp.asarray, params)
 
     # optimizer (build_optimizer + get_lr_sched)
@@ -261,8 +265,10 @@ def main(cmds=None):
     collate_cfg = PretrainCollateConfig(with_teacher=teacher is not None)
     train_loaders = create_dataloaders(args.train_datasets, True, args,
                                        all_img_dbs, collate_cfg)
+    # validation never runs the teacher — don't build its sub-batches
     val_loaders = create_dataloaders(args.val_datasets, False, args,
-                                     all_img_dbs, collate_cfg)
+                                     all_img_dbs,
+                                     PretrainCollateConfig())
     meta_loader = MetaLoader(train_loaders,
                              accum_steps=args.gradient_accumulation_steps,
                              seed=args.seed)
@@ -277,6 +283,8 @@ def main(cmds=None):
     rng = jax.random.PRNGKey(args.seed)
     start = time.time()
     micro_step = 0
+    last_validated = -1
+    results = {}
 
     LOGGER.info("start pre-training: %d steps, tasks=%s",
                 args.num_train_steps, list(train_loaders))
@@ -309,18 +317,16 @@ def main(cmds=None):
                 for t, meter in task2loss.items():
                     TB_LOGGER.log_metric(meter.name, meter.val)
             if global_step % args.valid_steps == 0:
-                validate(model, state.params, val_loaders, validate_fn,
-                         global_step)
+                results = validate(model, state.params, val_loaders,
+                                   validate_fn, global_step)
+                last_validated = global_step
                 saver.save(state.params, global_step,
                            optimizer=state.opt_state)
         if global_step >= args.num_train_steps:
             break
 
-    if global_step % args.valid_steps != 0:
+    if last_validated != global_step:  # avoid a duplicate final sweep
         saver.save(state.params, global_step, optimizer=state.opt_state)
-        results = validate(model, state.params, val_loaders, validate_fn,
-                           global_step)
-    else:
         results = validate(model, state.params, val_loaders, validate_fn,
                            global_step)
     return results, state

@@ -170,8 +170,10 @@ def main(cmds=None):
             tx, every_k_schedule=args.gradient_accumulation_steps)
 
     kd_fn = None
+    n_teacher = min(10, args.train_batch_size)  # N_EXAMPLES_TEACHER clamp
     if teacher is not None:
-        kd_fn = make_kd_fn(teacher, t_params, T=args.T)
+        kd_fn = make_kd_fn(teacher, t_params, T=args.T, n_teacher=n_teacher,
+                           caption_score_weight=args.caption_score_weight)
 
     mesh = data_parallel_mesh(args.dp_size) if jax.device_count() > 1 else None
     train_step = jit_train_step(
@@ -202,7 +204,8 @@ def main(cmds=None):
         pending = None
         for step, batch in enumerate(train_dataloader):
             if teacher is not None:
-                batch["teacher"] = make_teacher_batch(batch, n_teacher=10)
+                batch["teacher"] = make_teacher_batch(batch,
+                                                      n_teacher=n_teacher)
             state, metrics = train_step(state, batch,
                                         jax.random.fold_in(rng, global_step))
             global_step += 1

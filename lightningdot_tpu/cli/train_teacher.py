@@ -108,10 +108,9 @@ def main(cmds=None):
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(p):
-            rank = model.rank_scores(p, batch, deterministic=False, rng=rng)
-            scores = jax.nn.sigmoid(rank).reshape(-1, sample_size)
-            loss = jax.numpy.clip(
-                args.margin + scores[:, 1:] - scores[:, :1], 0.0, None)
+            loss = model.apply(p, batch, compute_loss=True,
+                               deterministic=False, rng=rng,
+                               sample_size=sample_size)
             return loss.mean()
 
         import optax

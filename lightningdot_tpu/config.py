@@ -209,12 +209,14 @@ def map_db_dirs(args: argparse.Namespace) -> None:
             setattr(args, k, v.replace("/img", args.img_db_mapping, 1))
     if getattr(args, "img_db_mapping", None) and \
             isinstance(getattr(args, "train_img_dbs", None), list):
-        args.train_img_dbs = [p.replace("/img", args.img_db_mapping, 1)
-                              for p in args.train_img_dbs]
+        args.train_img_dbs = [
+            p.replace("/img", args.img_db_mapping, 1)
+            if p.startswith("/img") else p for p in args.train_img_dbs]
     if getattr(args, "txt_db_mapping", None) and \
             isinstance(getattr(args, "train_txt_dbs", None), list):
-        args.train_txt_dbs = [p.replace("/db", args.txt_db_mapping, 1)
-                              for p in args.train_txt_dbs]
+        args.train_txt_dbs = [
+            p.replace("/db", args.txt_db_mapping, 1)
+            if p.startswith("/db") else p for p in args.train_txt_dbs]
 
 
 def print_args(args: Any, log=print) -> None:

@@ -173,6 +173,7 @@ def itm_fast_collate(items: List[Dict[str, Any]],
         "caps": cap_batch,
         "sample_size": bs,
         "n_valid": n_valid,
+        "valid_mask": (np.arange(bs) < n_valid).astype(np.float32),
         "pos_ctx_indices": np.arange(bs, dtype=np.int32),
         "neg_ctx_indices": np.arange(bs, n_img, dtype=np.int32),
         "txt_index": [it["txt_id"] for it in items],
@@ -254,9 +255,12 @@ def make_teacher_batch(batch: Dict[str, Any], n_teacher: int
     Pairs the first ``n_teacher`` images with every positive text:
     pair order = text i * n_teacher + img j. The image-side [CLS] column of
     the student mask is dropped (itm.py:167) — the joint sequence is
-    [text tokens ; regions].
+    [text tokens ; regions]. ``n_teacher`` is clamped to the batch size
+    (the reference asserted N_EXAMPLES_TEACHER <= bs instead of handling
+    small batches).
     """
     bs = int(batch["sample_size"])
+    n_teacher = min(n_teacher, bs)
     txt_ids = np.asarray(batch["txts"]["input_ids"][:bs])
     txt_mask = np.asarray(batch["txts"]["attention_mask"][:bs])
     img_feat = np.asarray(batch["imgs"]["img_feat"][:n_teacher])

@@ -164,26 +164,43 @@ class DataLoader:
             self._on_epoch()
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch_idx in self._batches():
                     items = [self.dataset[i] for i in batch_idx]
-                    q.put(self.collate_fn(items))
+                    if not _put(self.collate_fn(items)):
+                        return  # consumer gone (break / GC) — exit cleanly
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # reached on StopIteration, break out of the consuming loop, or
+            # generator GC — release the worker thread
+            stop.set()
 
 
 class DevicePrefetcher:

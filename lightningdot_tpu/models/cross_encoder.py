@@ -69,13 +69,16 @@ class CrossEncoder:
                           self.compute_dtype).astype(jnp.float32)
 
     def apply(self, params: Params, batch, *, compute_loss=True,
-              deterministic=True, rng=None):
-        """itm.py:28-53."""
+              deterministic=True, rng=None, sample_size: Optional[int] = None):
+        """itm.py:28-53. ``sample_size`` overrides batch['sample_size'] so
+        the group width can stay static under jit."""
         rank = self.rank_scores(params, batch, deterministic=deterministic,
                                 rng=rng)
         if not compute_loss:
             return rank
-        scores = jax.nn.sigmoid(rank).reshape(-1, batch["sample_size"])
+        if sample_size is None:
+            sample_size = batch["sample_size"]
+        scores = jax.nn.sigmoid(rank).reshape(-1, sample_size)
         pos = scores[:, :1]
         neg = scores[:, 1:]
         return jnp.clip(self.margin + neg - pos, 0.0, None)

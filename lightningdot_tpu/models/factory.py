@@ -68,16 +68,29 @@ def build_biencoder(args, *, seed: int = 0) -> Tuple[BiEncoder, Any]:
     def _maybe(path):
         return path if path and str(path).lower() != "none" else None
 
+    def _merge_tower(init_tower, loaded_tower):
+        """Overlay loaded weights, KEEPING initialized subtrees the
+        checkpoint lacks (e.g. a fresh projection head when loading
+        bert-base/uniter-base into a project_dim model — the reference
+        leaves encode_proj randomly initialized in that case)."""
+        merged = dict(init_tower)
+        merged.update(loaded_tower)
+        return merged
+
     txt_ckpt = _maybe(getattr(args, "txt_checkpoint", None))
     if txt_ckpt:
         sd = ckpt_torch.load_torch_state_dict(txt_ckpt)
-        params["txt_model"] = ckpt_torch.map_tower(
-            sd, with_img=False, num_layers=txt_cfg.num_hidden_layers)
+        params["txt_model"] = _merge_tower(
+            params["txt_model"],
+            ckpt_torch.map_tower(sd, with_img=False,
+                                 num_layers=txt_cfg.num_hidden_layers))
     img_ckpt = _maybe(getattr(args, "img_checkpoint", None))
     if img_ckpt:
         sd = ckpt_torch.load_torch_state_dict(img_ckpt)
-        params["img_model"] = ckpt_torch.map_tower(
-            sd, with_img=True, num_layers=img_cfg.num_hidden_layers)
+        params["img_model"] = _merge_tower(
+            params["img_model"],
+            ckpt_torch.map_tower(sd, with_img=True,
+                                 num_layers=img_cfg.num_hidden_layers))
 
     bi_ckpt = _maybe(getattr(args, "biencoder_checkpoint", None))
     if bi_ckpt:

@@ -88,15 +88,17 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
     for batch in dataloader:
         txt, img, cap = encoder(batch)
         n_valid = batch["n_valid"]
-        bs = batch["sample_size"]
 
+        # in-batch diagnostic loss over the REAL rows only (padded rows are
+        # duplicates and would bias the metric)
         loss, correct, _ = BiEncoderNllLoss.calc(
-            txt, img, cap, jnp.arange(txt.shape[0]), None,
-            caption_score_weight)
+            txt[:n_valid], img[:n_valid],
+            cap[:n_valid] if cap is not None else None,
+            jnp.arange(n_valid), None, caption_score_weight)
         total_loss += float(loss)
         total_correct += int(correct)
         batches += 1
-        total_samples += bs
+        total_samples += n_valid
 
         txt_vec_chunks.append(txt[:n_valid])
         img_vec_chunks.append(img[:n_valid])

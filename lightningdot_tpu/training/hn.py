@@ -45,12 +45,21 @@ def get_img_txt_mappings(train_txt_dbs: List[str]):
 
 def random_hard_neg(fname2id, num_hard_negatives, id2set, set2id,
                     rng: random.Random = random):
-    """hn.py:17-26: random same-dataset negatives excluding the positive."""
+    """hn.py:17-26: random same-dataset negatives excluding the positive(s).
+
+    Deviation from the reference: when ``fname2id[i]`` is a LIST of ground
+    truths (the img->txt direction) the reference's ``not in`` check compares
+    the whole list against each sample and never excludes anything; here the
+    overlap test is element-wise so ground-truth captions cannot be sampled
+    as negatives.
+    """
     hard_negs = {}
     for i in fname2id:
+        gts = fname2id[i]
+        gt_set = set(gts) if isinstance(gts, (list, tuple, set)) else {gts}
         while True:
             hard_neg = rng.choices(set2id[id2set[i]], k=num_hard_negatives)
-            if fname2id[i] not in hard_neg:
+            if not gt_set & set(hard_neg):
                 break
         hard_negs[i] = hard_neg
     return hard_negs

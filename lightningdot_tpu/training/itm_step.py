@@ -63,42 +63,85 @@ def itm_loss_fn(model: BiEncoder, params, batch, rng, *,
     bs = txt.shape[0] // (1 + num_hard_negatives)
     pos_idx = jnp.arange(bs)
 
+    # Fixed-batch padding: the collate duplicates the last item to fill the
+    # batch (itm_fast_collate fixed_batch). Padded rows must neither act as
+    # queries nor as negative contexts (the reference trains on the exact
+    # dynamic batch). 'valid' marks real positives.
+    valid = batch.get("valid_mask")
+    if valid is None:
+        valid = jnp.ones((bs,), jnp.float32)
+    # a padded column j (valid[j]==0) is masked for OTHER rows via a large
+    # negative bias, except at its own diagonal position
+    neg_inf = -1e30
+
+    def masked_calc(q, ctx, cap_ctx, n_pos_ctx):
+        scores = jnp.dot(q, ctx.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if cap_ctx is not None and caption_score_weight != 0:
+            cap_scores = jnp.dot(q, cap_ctx.T,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            scores = ((1 - caption_score_weight) * scores
+                      + caption_score_weight * cap_scores)
+        n_ctx = ctx.shape[0]
+        ctx_valid = jnp.ones((n_ctx,), jnp.float32)
+        ctx_valid = ctx_valid.at[:n_pos_ctx].set(valid)
+        col_mask = (1.0 - ctx_valid)[None, :] * neg_inf
+        # keep each row's own positive column unmasked
+        diag = jax.nn.one_hot(pos_idx, n_ctx)
+        scores = scores + col_mask * (1.0 - diag)
+        logp = jax.nn.log_softmax(scores, axis=1)
+        nll = -jnp.take_along_axis(logp, pos_idx[:, None], axis=1)[:, 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(valid.sum(), 1.0)
+        correct = jnp.sum((jnp.argmax(logp, axis=1) == pos_idx) * valid)
+        return loss, correct
+
     # img -> txt ("loss_nce_txt": q=imgs[:bs], ctx=all texts,
     # train_itm.py:199-201)
-    loss1, correct1, _ = BiEncoderNllLoss.calc(
-        img[:bs], txt, cap, pos_idx, None, caption_score_weight,
-        reduction="mean")
+    loss1, correct1 = masked_calc(img[:bs], txt, cap, bs)
     # txt -> img ("loss_nce_img": q=txts[:bs], ctx=all images)
-    loss2, correct2, _ = BiEncoderNllLoss.calc(
-        txt[:bs], img, cap, pos_idx, None, caption_score_weight,
-        reduction="mean")
+    loss2, correct2 = masked_calc(txt[:bs], img, cap, bs)
     loss = 0.5 * loss1 + 0.5 * loss2
+    n_valid = jnp.maximum(valid.sum(), 1.0)
     metrics = {
         "loss": loss, "loss_img2txt": loss1, "loss_txt2img": loss2,
-        "acc": (correct1 + correct2) / (2.0 * bs),
+        "acc": (correct1 + correct2) / (2.0 * n_valid),
     }
-    return loss, (metrics, (txt, img))
+    return loss, (metrics, (txt, img, cap))
 
 
 def make_kd_fn(teacher, teacher_params, *, T: float = 1.0,
-               n_teacher: int = 10) -> Callable:
+               n_teacher: int = 10,
+               caption_score_weight: float = 0.0) -> Callable:
     """Teacher-distillation loss (train_itm.py:224-239).
 
-    Student scores: symmetrized blend 0.5*(S + S^T) of the in-batch score
-    matrix (train_itm.py:217-222), first ``n_teacher`` rows. Teacher scores:
-    cross-encoder rank logits on the (text x first-n images) pair grid,
-    reshaped [n_teacher, bs]. KL(log_softmax(student/T) || softmax(teacher/T))
-    * T^2, elementwise-mean reduction (nn.KLDivLoss default).
+    Student scores: symmetrized blend of the in-batch score matrices from
+    both directions (train_itm.py:217-222), each including the caption term
+    when ``caption_score_weight`` > 0 (the _calc_loss blending), first
+    ``n_teacher`` rows. Teacher scores: cross-encoder rank logits on the
+    (text x first-n images) pair grid, reshaped [n_teacher, bs].
+    KL(log_softmax(student/T) || softmax(teacher/T)) * T^2, elementwise-mean
+    reduction (nn.KLDivLoss default).
     """
 
     def kd_fn(params, batch, embs):
         del params
-        txt, img = embs
+        txt, img, cap = embs
         bs = batch["teacher"]["input_ids"].shape[0] // n_teacher
-        s = jnp.dot(txt[:bs], img[:bs].T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        student = (0.5 * (s + s.T))[:n_teacher]                    # [nt, bs]
+
+        def blended(q, ctx):
+            s = jnp.dot(q, ctx.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            if cap is not None and caption_score_weight != 0:
+                sc = jnp.dot(q, cap[:bs].T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                s = (1 - caption_score_weight) * s + caption_score_weight * sc
+            return s
+
+        s_img_q = blended(img[:bs], txt[:bs])   # "scores_txt" (q=imgs)
+        s_txt_q = blended(txt[:bs], img[:bs])   # "scores_img" (q=txts)
+        student = (0.5 * s_img_q + 0.5 * s_txt_q)[:n_teacher]      # [nt, bs]
         t_scores = teacher.rank_scores(
             jax.lax.stop_gradient(teacher_params), batch["teacher"],
             deterministic=True)
@@ -162,6 +205,8 @@ def jit_train_step(train_step: Callable, mesh=None,
         """Drop host-only fields (ids, fnames, python ints) before tracing."""
         mb = {"txts": batch["txts"], "imgs": batch["imgs"],
               "caps": batch["caps"]}
+        if "valid_mask" in batch:
+            mb["valid_mask"] = batch["valid_mask"]
         if "teacher" in batch and batch["teacher"] is not None:
             t = dict(batch["teacher"])
             t.pop("gather_index", None)

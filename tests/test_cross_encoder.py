@@ -135,7 +135,7 @@ def test_kd_loss_runs(rng):
     txt = jnp.asarray(rng.standard_normal((bs, 32)).astype(np.float32))
     img = jnp.asarray(rng.standard_normal((bs, 32)).astype(np.float32))
     batch_j = jax.tree.map(jnp.asarray, batch)
-    loss = kd_fn(None, batch_j, (txt, img))
+    loss = kd_fn(None, batch_j, (txt, img, None))
     assert np.isfinite(float(loss)) and float(loss) >= 0
 
 
@@ -160,7 +160,7 @@ def test_kd_formula_matches_torch(rng):
     txt = rng.standard_normal((bs, 8)).astype(np.float32)
     img = rng.standard_normal((bs, 8)).astype(np.float32)
     batch = {"teacher": {"input_ids": np.zeros((bs * nt, 4), np.int32)}}
-    ours = float(kd_fn(None, batch, (jnp.asarray(txt), jnp.asarray(img))))
+    ours = float(kd_fn(None, batch, (jnp.asarray(txt), jnp.asarray(img), None)))
 
     s = txt @ img.T
     blended = 0.5 * (s + s.T)
