@@ -104,6 +104,10 @@ def main(cmds=None):
         from transformers import BertTokenizer
         args.tokenizer = BertTokenizer.from_pretrained("bert-base-cased")
 
+    if args.retrieval_mode != "both":
+        # the reference raises for txt_only/img_only too (train_itm.py:212-219)
+        raise ValueError("not supported anymore")
+
     model, params = build_biencoder(args, seed=args.seed)
     args.vector_size = model.txt_cfg.out_size
 
