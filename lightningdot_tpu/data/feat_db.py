@@ -39,6 +39,46 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
+_RAW_MAGIC = b"LDRW"
+
+
+def _raw_bytes(**arrays) -> bytes:
+    """Zero-copy record format: msgpack header + raw array payloads.
+
+    npz-compressed records cost ~2.5 ms/image to inflate — 3x slower than
+    the TPU train step at batch 96. Raw records read straight out of the
+    ldkv mmap with np.frombuffer (no copy, no decompress).
+    """
+    import msgpack
+
+    header = {}
+    payloads = []
+    offset = 0
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        header[name] = [arr.dtype.str, list(arr.shape), offset]
+        payloads.append(arr.tobytes())
+        offset += len(payloads[-1])
+    head = msgpack.dumps(header)
+    return b"".join([_RAW_MAGIC, len(head).to_bytes(4, "little"), head]
+                    + payloads)
+
+
+def _raw_load(view: memoryview) -> Dict[str, np.ndarray]:
+    import msgpack
+
+    head_len = int.from_bytes(view[4:8], "little")
+    header = msgpack.loads(bytes(view[8:8 + head_len]), raw=False)
+    base = 8 + head_len
+    out = {}
+    for name, (dtype, shape, offset) in header.items():
+        n = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(view, dtype=np.dtype(dtype),
+                            count=n, offset=base + offset)
+        out[name] = arr.reshape(shape)
+    return out
+
+
 class DetectFeatDb:
     """Read-side feature DB."""
 
@@ -75,9 +115,12 @@ class DetectFeatDb:
 
     def _load(self, file_name: str) -> Dict[str, np.ndarray]:
         raw = self.db[file_name]
-        with io.BytesIO(bytes(raw)) as reader:
-            dump = np.load(reader, allow_pickle=True)
-            out = {k: np.asarray(dump[k]) for k in dump.files}
+        if bytes(raw[:4]) == _RAW_MAGIC:
+            out = _raw_load(raw)
+        else:  # npz (reference-compatible compressed records)
+            with io.BytesIO(bytes(raw)) as reader:
+                dump = np.load(reader, allow_pickle=True)
+                out = {k: np.asarray(dump[k]) for k in dump.files}
         return {k: (a.astype(np.float32) if a.dtype == np.float16 else a)
                 for k, a in out.items()}
 
@@ -128,10 +171,12 @@ class ImageDbGroup:
 
 def write_feat_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
                   conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
-                  num_bb: int = 36) -> None:
+                  num_bb: int = 36, fmt: str = "raw") -> None:
     """Prepro-side writer (parity with scripts/convert_imgdir.py outputs).
 
     records: fname -> {features, norm_bb, conf[, soft_labels]}.
+    fmt: 'raw' (zero-copy mmap reads, default) or 'npz' (compressed,
+    reference-equivalent).
     """
     import os
 
@@ -140,10 +185,11 @@ def write_feat_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
         db_name = f"feat_numbb{num_bb}"
     else:
         db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+    pack = _raw_bytes if fmt == "raw" else _npz_bytes
     name2nbb = {}
     with KVWriter(join(img_dir, db_name + ".ldkv")) as w:
         for fname, arrays in records.items():
-            w.put(fname, _npz_bytes(**arrays))
+            w.put(fname, pack(**arrays))
             if conf_th != -1:
                 name2nbb[fname] = compute_num_bb(
                     np.asarray(arrays["conf"]), conf_th, min_bb, max_bb)
