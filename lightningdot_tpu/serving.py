@@ -28,13 +28,20 @@ class Retriever:
 
     def __init__(self, model: BiEncoder, params, tokenizer,
                  query_buckets: Sequence[int] = QUERY_LEN_BUCKETS,
-                 mesh=None):
+                 mesh=None, quantization: Optional[str] = None):
+        """``quantization='int8'`` stores the corpus as per-vector symmetric
+        int8 (halves HBM traffic and memory vs bf16; scores accumulate in
+        int32 on the MXU's 8-bit path, then rescale)."""
+        if quantization not in (None, "int8"):
+            raise ValueError(f"unknown quantization {quantization!r}")
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.query_buckets = query_buckets
         self.mesh = mesh               # shard the corpus over a dp mesh
+        self.quantization = quantization
         self._corpus = None            # [N_pad, D] device array
+        self._scales = None            # [N_pad] per-vector scales (int8)
         self._ids: List[Any] = []
         self._fns: Dict[int, Any] = {}
 
@@ -47,6 +54,17 @@ class Retriever:
         mat[:n] = vectors
         bias = np.zeros((n_pad,), np.float32)
         bias[n:] = -1e30
+        if self.quantization == "int8":
+            scales = np.abs(mat).max(axis=1) / 127.0
+            scales = np.maximum(scales, 1e-12)
+            q = np.clip(np.rint(mat / scales[:, None]), -127, 127
+                        ).astype(np.int8)
+            self._corpus = jnp.asarray(q)
+            self._scales = jnp.asarray(scales.astype(np.float32))
+            self._bias = jnp.asarray(bias)
+            self._ids = list(ids)
+            self._fns.clear()
+            return
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -63,15 +81,36 @@ class Retriever:
         self._fns.clear()
 
     def save_corpus(self, path: str) -> None:
-        np.save(path + ".vecs.npy", np.asarray(self._corpus))
+        arrays = {"vecs": np.asarray(self._corpus),
+                  "bias": np.asarray(self._bias)}
+        if self._scales is not None:
+            arrays["scales"] = np.asarray(self._scales)
+        np.savez(path + ".corpus.npz", **arrays)
         with open(path + ".ids.pkl", "wb") as f:
-            pickle.dump((self._ids, len(self._ids)), f)
+            pickle.dump((self._ids, self.quantization), f)
 
     def load_corpus(self, path: str) -> None:
-        vecs = np.load(path + ".vecs.npy")
+        data = np.load(path + ".corpus.npz")
         with open(path + ".ids.pkl", "rb") as f:
-            ids, n = pickle.load(f)
-        self.set_corpus(ids, vecs[:n])
+            self._ids, quant = pickle.load(f)
+        if quant != self.quantization:
+            raise ValueError(
+                f"corpus saved with quantization={quant!r}, retriever has "
+                f"{self.quantization!r}")
+        self._corpus = jnp.asarray(data["vecs"])
+        self._bias = jnp.asarray(data["bias"])
+        self._scales = (jnp.asarray(data["scales"])
+                        if "scales" in data.files else None)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from lightningdot_tpu.parallel.mesh import DP_AXIS
+
+            self._corpus = jax.device_put(
+                self._corpus, NamedSharding(self.mesh, P(DP_AXIS, None)))
+            self._bias = jax.device_put(
+                self._bias, NamedSharding(self.mesh, P(DP_AXIS)))
+        self._fns.clear()
 
     # -- query ---------------------------------------------------------------
     def _query_fn(self, length: int, k: int):
@@ -79,15 +118,28 @@ class Retriever:
         fn = self._fns.get(key)
         if fn is None:
             model = self.model
+            int8 = self.quantization == "int8"
 
-            def run(params, ids, mask, corpus, bias):
+            def run(params, ids, mask, corpus, bias, scales):
                 sb = {"input_ids": ids, "attention_mask": mask,
                       "position_ids": jnp.broadcast_to(
                           jnp.arange(length, dtype=jnp.int32),
                           ids.shape)}
                 vec = model.encode_txt(params, sb, deterministic=True)
-                scores = jnp.dot(vec.astype(jnp.float32), corpus.T,
-                                 preferred_element_type=jnp.float32)
+                if int8:
+                    # symmetric per-query int8: MXU 8-bit path, int32 accum
+                    q_scale = jnp.maximum(
+                        jnp.abs(vec).max(axis=-1, keepdims=True), 1e-12
+                    ).astype(jnp.float32) / 127.0
+                    q = jnp.clip(jnp.round(vec.astype(jnp.float32) / q_scale),
+                                 -127, 127).astype(jnp.int8)
+                    acc = jnp.dot(q, corpus.T,
+                                  preferred_element_type=jnp.int32)
+                    scores = (acc.astype(jnp.float32) * q_scale
+                              * scales[None, :])
+                else:
+                    scores = jnp.dot(vec.astype(jnp.float32), corpus.T,
+                                     preferred_element_type=jnp.float32)
                 return jax.lax.top_k(scores + bias[None, :], k)
 
             fn = jax.jit(run)
@@ -113,9 +165,11 @@ class Retriever:
             ids[i, :len(t)] = t[:L]
             mask[i, :len(t)] = 1
         k = min(top, len(self._ids))
+        scales = (self._scales if self._scales is not None
+                  else jnp.zeros((0,), jnp.float32))
         scores, idx = self._query_fn(L, k)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), self._corpus,
-            self._bias)
+            self._bias, scales)
         scores, idx = np.asarray(scores), np.asarray(idx)
         return [[(self._ids[i], float(s)) for i, s in zip(row_i, row_s)]
                 for row_i, row_s in zip(idx, scores)]

@@ -143,3 +143,34 @@ def test_retrieve_batch(rng):
     # batch results match single-query results
     r0 = r.retrieve_query("a dog", top=7)
     assert [i for i, _ in res[0]] == [i for i, _ in r0]
+
+
+def test_int8_quantized_retrieval_matches_exact(rng):
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    ids = [f"i{i}" for i in range(1000)]
+    vecs = rng.standard_normal((1000, 32)).astype(np.float32)
+
+    exact = Retriever(model, params, FakeTokenizer())
+    exact.set_corpus(ids, vecs)
+    quant = Retriever(model, params, FakeTokenizer(), quantization="int8")
+    quant.set_corpus(ids, vecs)
+
+    overlap = 0.0
+    queries = ["a dog runs", "small red car", "people at the beach",
+               "green field with trees"]
+    for q in queries:
+        top_e = {i for i, _ in exact.retrieve_query(q, top=10)}
+        top_q = {i for i, _ in quant.retrieve_query(q, top=10)}
+        overlap += len(top_e & top_q) / 10
+    assert overlap / len(queries) > 0.8  # int8 keeps the top-k mostly intact
+
+    # quantized corpus persists and reloads
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "qc")
+    quant.save_corpus(path)
+    q2 = Retriever(model, params, FakeTokenizer(), quantization="int8")
+    q2.load_corpus(path)
+    r1 = quant.retrieve_query("a dog runs", top=5)
+    r2 = q2.retrieve_query("a dog runs", top=5)
+    assert [i for i, _ in r1] == [i for i, _ in r2]
