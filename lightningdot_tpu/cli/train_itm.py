@@ -206,10 +206,16 @@ def main(cmds=None):
         # of the PREVIOUS log interval (already materialized) rather than
         # synchronizing on the step just dispatched
         pending = None
-        for step, batch in enumerate(train_dataloader):
+
+        def prepare(b):
+            """Teacher grid built one batch ahead of the train step."""
             if teacher is not None:
-                batch["teacher"] = make_teacher_batch(batch,
-                                                      n_teacher=n_teacher)
+                b["teacher"] = make_teacher_batch(b, n_teacher=n_teacher)
+            return b
+
+        from lightningdot_tpu.data.loader import DevicePrefetcher
+        for step, batch in enumerate(
+                DevicePrefetcher(train_dataloader, put=prepare)):
             state, metrics = train_step(state, batch,
                                         jax.random.fold_in(rng, global_step))
             global_step += 1

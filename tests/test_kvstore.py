@@ -126,3 +126,19 @@ def test_save_training_meta(tmp_path):
     hps = _json.load(open(tmp_path / "log" / "hps.json"))
     assert hps["learning_rate"] == 1e-4 and "fn" not in hps
     assert (tmp_path / "ckpt").is_dir()
+
+
+def test_device_prefetcher_order_and_lookahead():
+    from lightningdot_tpu.data.loader import DevicePrefetcher
+
+    calls = []
+
+    def put(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(DevicePrefetcher([1, 2, 3], put=put))
+    assert out == [10, 20, 30]
+    assert calls == [1, 2, 3]
+    assert list(DevicePrefetcher([], put=put)) == []
+    assert list(DevicePrefetcher([5], put=put)) == [50]
