@@ -48,24 +48,14 @@ def main(cmds=None):
     setup_runtime(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    import jax
     import jax.numpy as jnp
 
-    from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
-    from lightningdot_tpu.models.cross_encoder import CrossEncoder
+    from lightningdot_tpu.models.factory import load_cross_encoder
 
-    cfg = resolve_encoder_config(args.model_config)
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
-    model = CrossEncoder(cfg, compute_dtype=dtype)
-    if args.checkpoint.endswith(".pt"):
-        sd = ckpt_torch.load_torch_state_dict(args.checkpoint)
-        params = ckpt_torch.map_cross_encoder(
-            sd, num_layers=cfg.num_hidden_layers)
-    else:
-        from lightningdot_tpu.training.checkpoints import load_checkpoint
-        params, _, _ = load_checkpoint(
-            args.checkpoint, model_template=model.init(jax.random.PRNGKey(0)))
-    params = jax.tree.map(jnp.asarray, params)
+    model, params = load_cross_encoder(args.checkpoint,
+                                       model_config=args.model_config,
+                                       compute_dtype=dtype)
 
     txt_db = TxtTokDb(args.txt_db, -1)
     img_db = DetectFeatDb(args.img_db, args.conf_th, args.max_bb, args.min_bb,

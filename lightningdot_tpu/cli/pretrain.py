@@ -60,9 +60,6 @@ def build_parser():
     return p
 
 
-_TASK_BUILDERS = {}
-
-
 def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train):
     """pretrain.py:79-221 build_*_dataset equivalents."""
     datasets = []

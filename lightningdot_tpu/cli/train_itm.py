@@ -52,26 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load_teacher(args):
     """train_itm.py:87-96: cross-encoder teacher from checkpoint dir."""
-    from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
-    from lightningdot_tpu.models.cross_encoder import CrossEncoder
+    from lightningdot_tpu.models.factory import load_cross_encoder
 
-    cfg_path = os.path.join(args.teacher_checkpoint, "config.json")
-    cfg = resolve_encoder_config(cfg_path)
-    teacher = CrossEncoder(cfg, margin=0.2)
-    model_pt = os.path.join(args.teacher_checkpoint, "model.pt")
-    if os.path.exists(model_pt):
-        sd = ckpt_torch.load_torch_state_dict(model_pt)
-        t_params = ckpt_torch.map_cross_encoder(
-            sd, num_layers=cfg.num_hidden_layers)
-        if "rank_output" not in t_params:
-            t_params = CrossEncoder.init_output(t_params)
-    else:
-        npz = os.path.join(args.teacher_checkpoint, "model")
-        from lightningdot_tpu.training.checkpoints import load_checkpoint
-        t_params, _, _ = load_checkpoint(
-            npz, model_template=teacher.init(jax.random.PRNGKey(0)))
-    t_params = jax.tree.map(jax.numpy.asarray, t_params)
-    return teacher, t_params
+    return load_cross_encoder(args.teacher_checkpoint,
+                              model_config=args.img_model_config)
 
 
 def main(cmds=None):

@@ -71,24 +71,15 @@ def main(cmds=None):
 
     cfg = resolve_encoder_config(args.model_config)
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
-    model = CrossEncoder(cfg, margin=args.margin, compute_dtype=dtype)
-    params = model.init(jax.random.PRNGKey(args.seed))
     if args.checkpoint:
-        from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
-        if args.checkpoint.endswith(".pt"):
-            sd = ckpt_torch.load_torch_state_dict(args.checkpoint)
-            loaded = ckpt_torch.map_cross_encoder(
-                sd, num_layers=cfg.num_hidden_layers)
-            # seed rank head from itm head when absent (itm.py:23-26)
-            for k, v in loaded.items():
-                params[k] = v
-            if "rank_output" not in loaded and "itm_output" in loaded:
-                params = CrossEncoder.init_output(params)
-        else:
-            from lightningdot_tpu.training.checkpoints import load_checkpoint
-            params, _, _ = load_checkpoint(args.checkpoint,
-                                           model_template=params)
-    params = jax.tree.map(jnp.asarray, params)
+        from lightningdot_tpu.models.factory import load_cross_encoder
+        model, params = load_cross_encoder(
+            args.checkpoint, model_config=args.model_config,
+            margin=args.margin, compute_dtype=dtype)
+    else:
+        model = CrossEncoder(cfg, margin=args.margin, compute_dtype=dtype)
+        params = jax.tree.map(jnp.asarray,
+                              model.init(jax.random.PRNGKey(args.seed)))
 
     txt_db = TxtTokDb(args.train_txt_db, args.max_txt_len)
     img_db = DetectFeatDb(args.train_img_db, args.conf_th, args.max_bb,

@@ -43,11 +43,6 @@ class EncoderConfig:
     # (dvl/models/bi_encoder.py:82-90 Sequential projection)
     project_dim: int = 0
 
-    _IGNORED_JSON_KEYS = frozenset({
-        "architectures", "model_type", "pad_token_id", "output_hidden_states",
-        "num_hidden_layers_img",
-    })
-
     @classmethod
     def from_dict(cls, d: dict) -> "EncoderConfig":
         known = {f.name for f in dataclasses.fields(cls)}

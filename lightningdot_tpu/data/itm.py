@@ -44,11 +44,12 @@ class ItmFastDataset:
     def new_epoch(self, hard_negatives_img: Optional[dict] = None,
                   hard_negatives_txt: Optional[dict] = None) -> None:
         """Resample labels/negatives each epoch (itm.py:51-66)."""
+        txt2img = self.txt_db.txt2img  # cached map beats per-record decode
         self.lens = []
         self.train_imgs, self.neg_imgs = [], []
         self.train_txts, self.neg_txts = [], []
         for id_, tl in zip(self.ids, self.txt_lens):
-            img_fname = self.txt_db[id_]["img_fname"]
+            img_fname = txt2img[id_]
             self.train_imgs.append(img_fname)
             self.train_txts.append(id_)
             if hard_negatives_img is not None and self.num_hard_negatives > 0:

@@ -11,16 +11,11 @@ import ctypes
 import mmap
 import os
 import struct
-import subprocess
-from pathlib import Path
 from typing import Dict, Iterable, Iterator, Optional, Tuple, Union
 
 _MAGIC = b"LDKV0001"
 _HEADER = struct.Struct("<8sQQ")          # magic, n, index_offset
 _ENTRY = struct.Struct("<QQIIQQ")          # hash, key_off, key_len, pad, val_off, val_len
-
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_SO_PATH = _NATIVE_DIR / "build" / "libldkv.so"
 
 Bytes = Union[bytes, bytearray, memoryview]
 
@@ -34,16 +29,11 @@ def _fnv1a(data: bytes) -> int:
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Build (once) and load the native library; None if unavailable."""
-    if not _SO_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(str(_SO_PATH))
-    except OSError:
+    """Configure the shared native ldkv library; None if unavailable."""
+    from lightningdot_tpu.native_build import load_native
+
+    lib = load_native("ldkv")
+    if lib is None:
         return None
     lib.ldkv_open.restype = ctypes.c_void_p
     lib.ldkv_open.argtypes = [ctypes.c_char_p]

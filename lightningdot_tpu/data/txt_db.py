@@ -56,13 +56,17 @@ class TxtTokDb:
 
     @property
     def txt2img(self) -> Dict[str, str]:
-        with open(join(self.db_dir, "txt2img.json")) as f:
-            return json.load(f)
+        if not hasattr(self, "_txt2img"):
+            with open(join(self.db_dir, "txt2img.json")) as f:
+                self._txt2img = json.load(f)
+        return self._txt2img
 
     @property
     def img2txts(self) -> Dict[str, List[str]]:
-        with open(join(self.db_dir, "img2txts.json")) as f:
-            return json.load(f)
+        if not hasattr(self, "_img2txts"):
+            with open(join(self.db_dir, "img2txts.json")) as f:
+                self._img2txts = json.load(f)
+        return self._img2txts
 
 
 def get_ids_and_lens(db: TxtTokDb) -> Tuple[List[int], List[str]]:

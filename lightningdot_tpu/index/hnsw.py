@@ -12,34 +12,21 @@ from __future__ import annotations
 
 import ctypes
 import pickle
-import subprocess
-from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_SO_PATH = _NATIVE_DIR / "build" / "libhnsw.so"
-
-_lib: Optional[ctypes.CDLL] = None
-_lib_tried = False
+_configured = False
 
 
 def hnsw_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_tried
-    if _lib_tried:
-        return _lib
-    _lib_tried = True
-    if not _SO_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=180)
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(str(_SO_PATH))
-    except OSError:
-        return None
+    global _configured
+    from lightningdot_tpu.native_build import load_native
+
+    lib = load_native("hnsw")
+    if lib is None or _configured:
+        return lib
+    _configured = True
     lib.hnsw_new.restype = ctypes.c_void_p
     lib.hnsw_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
@@ -57,8 +44,7 @@ def hnsw_lib() -> Optional[ctypes.CDLL]:
     lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.hnsw_load.restype = ctypes.c_void_p
     lib.hnsw_load.argtypes = [ctypes.c_char_p]
-    _lib = lib
-    return _lib
+    return lib
 
 
 class DenseHNSWFlatIndexer:

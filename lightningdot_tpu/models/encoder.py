@@ -32,7 +32,6 @@ remat-friendly); matmuls run in bf16 with f32 accumulation when
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -45,13 +44,6 @@ from lightningdot_tpu.ops import gelu, layer_norm, multi_head_attention
 Params = Dict[str, Any]
 
 MASK_BIAS = -10000.0  # model.py:365
-
-
-@dataclasses.dataclass
-class EncoderParams:
-    """Typed wrapper (purely documentary; the tree itself is a dict)."""
-
-    tree: Params
 
 
 # ---------------------------------------------------------------------------

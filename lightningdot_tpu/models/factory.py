@@ -38,6 +38,52 @@ def resolve_encoder_config(name_or_path: str, *, project_dim: int = 0,
     return EncoderConfig.from_dict(d)
 
 
+def load_cross_encoder(checkpoint: str, *, model_config: Optional[str] = None,
+                       margin: float = 0.2, compute_dtype=None
+                       ) -> Tuple[Any, Any]:
+    """Load a CrossEncoder from a teacher dir or a .pt file.
+
+    Accepts: a directory holding config.json + (model.pt | model.npz), or a
+    direct .pt/native checkpoint path (then ``model_config`` is required).
+    Seeds the rank head from the itm head when absent (itm.py:23-26).
+    """
+    import jax.numpy as jnp
+
+    from lightningdot_tpu.models import checkpoint_torch as ckpt_torch
+    from lightningdot_tpu.models.cross_encoder import CrossEncoder
+
+    if os.path.isdir(checkpoint):
+        cfg_path = os.path.join(checkpoint, "config.json")
+        if not os.path.exists(cfg_path):
+            cfg_path = model_config
+        pt = os.path.join(checkpoint, "model.pt")
+        ckpt_path = pt if os.path.exists(pt) else os.path.join(checkpoint,
+                                                               "model")
+    else:
+        cfg_path = model_config
+        ckpt_path = checkpoint
+    if cfg_path is None:
+        raise ValueError("cross-encoder config not found; pass model_config")
+
+    cfg = resolve_encoder_config(cfg_path)
+    model = CrossEncoder(cfg, margin=margin,
+                         compute_dtype=compute_dtype or jnp.float32)
+    if ckpt_path.endswith(".pt"):
+        sd = ckpt_torch.load_torch_state_dict(ckpt_path)
+        params = ckpt_torch.map_cross_encoder(
+            sd, num_layers=cfg.num_hidden_layers)
+        init = model.init(jax.random.PRNGKey(0))
+        init.update(params)
+        params = init
+        if "rank_output" not in sd and "itm_output.weight" in sd:
+            params = CrossEncoder.init_output(params)
+    else:
+        from lightningdot_tpu.training.checkpoints import load_checkpoint
+        params, _, _ = load_checkpoint(
+            ckpt_path, model_template=model.init(jax.random.PRNGKey(0)))
+    return model, jax.tree.map(jnp.asarray, params)
+
+
 def build_biencoder(args, *, seed: int = 0) -> Tuple[BiEncoder, Any]:
     """Construct the model + params; load checkpoints per args.
 

@@ -1,0 +1,30 @@
+"""Shared loader for the native C++ libraries (built on demand via make)."""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Dict, Optional
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_cache: Dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def load_native(name: str) -> Optional[ctypes.CDLL]:
+    """Load native/build/lib<name>.so, building the native tree once if
+    missing; None when unavailable (callers fall back to pure python)."""
+    if name in _cache:
+        return _cache[name]
+    so = NATIVE_DIR / "build" / f"lib{name}.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=180)
+        except Exception:
+            _cache[name] = None
+            return None
+    try:
+        _cache[name] = ctypes.CDLL(str(so))
+    except OSError:
+        _cache[name] = None
+    return _cache[name]
