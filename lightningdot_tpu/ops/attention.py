@@ -42,19 +42,20 @@ def _attention_math(q, k, v, bias, scale):
     return out.astype(v.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, prec):
     q = q_ref[0, 0].astype(jnp.float32)         # [S, D]
     k = k_ref[0, 0].astype(jnp.float32)         # [S, D]
     v = v_ref[0, 0].astype(jnp.float32)         # [S, D]
     b = bias_ref[0].astype(jnp.float32)         # [1, S] -> broadcast rows
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32, precision=prec) * scale
     scores = scores + b
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32,
+                  precision=prec)
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
@@ -72,7 +73,8 @@ def _attention_pallas(q, k, v, bias, scale):
     bias_spec = pl.BlockSpec((1, 1, s), lambda b, h: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale,
+                          prec=_precision(q.dtype)),
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
