@@ -104,3 +104,38 @@ def test_itm_val_dataset(synth):
     assert item["input_ids"].shape[0] == 6
     assert (item["input_ids"] == item["input_ids"][0]).all()
     assert item["img_feat"].shape[0] == 6
+
+
+def test_eval_with_sharded_index_matches_flat(synth, tmp_path_factory):
+    """eval_model_on_dataloader(mesh=...) uses DenseShardedIndex and must
+    reproduce the single-device recalls exactly."""
+    import jax
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.data.loader import DataLoader
+    from lightningdot_tpu.models.bi_encoder import BiEncoder
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+    from lightningdot_tpu.training.evaluator import eval_model_on_dataloader
+
+    txt_dir, img_dir = synth
+    txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
+    img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=20, min_bb=5)
+    ds = ItmFastDataset(txt_db, img_db)
+    ds.new_epoch()
+    cfg = dict(vocab_size=28996, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=4, intermediate_size=64,
+               max_position_embeddings=64)
+    model = BiEncoder(EncoderConfig(**cfg), EncoderConfig(**cfg, img_dim=64))
+    params = model.init(jax.random.PRNGKey(3))
+    collate = lambda x: itm_fast_collate(
+        x, CollateConfig(txt_buckets=(32,), img_buckets=(32,),
+                         fixed_batch=8))
+    make_loader = lambda: DataLoader(ds, batch_size=8, collate_fn=collate)
+
+    flat = eval_model_on_dataloader(model, params, make_loader(),
+                                    img2txt=txt_db.img2txts, vector_size=32)
+    sharded = eval_model_on_dataloader(model, params, make_loader(),
+                                       img2txt=txt_db.img2txts,
+                                       vector_size=32,
+                                       mesh=data_parallel_mesh())
+    assert flat.recall == sharded.recall

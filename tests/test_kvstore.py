@@ -142,3 +142,39 @@ def test_device_prefetcher_order_and_lookahead():
     assert calls == [1, 2, 3]
     assert list(DevicePrefetcher([], put=put)) == []
     assert list(DevicePrefetcher([5], put=put)) == [50]
+
+
+def test_kv_many_keys_stress(tmp_path):
+    """10k keys: exercises the hash-sorted index (incl. any colliding-hash
+    linear scans) through both readers."""
+    path = str(tmp_path / "many.ldkv")
+    items = [(f"key-{i:06d}", str(i * 31).encode()) for i in range(10_000)]
+    KVWriter.write_dict(path, items)
+    for native in (True, False):
+        r = KVReader(path, prefer_native=native)
+        assert len(r) == 10_000
+        rng = np.random.default_rng(0)
+        for i in rng.integers(0, 10_000, 300):
+            assert bytes(r[f"key-{i:06d}"]) == str(i * 31).encode()
+        assert r.get("key-999999") is None
+        r.close()
+
+
+def test_meta_loader_seeded_task_sequence():
+    """Same seed -> same task order (replaces the any_broadcast sync)."""
+    from lightningdot_tpu.data.loader import MetaLoader
+
+    def make():
+        return MetaLoader({"a": [1, 2], "b": ([10, 20], 2)},
+                          accum_steps=2, seed=5)
+
+    seq1 = [t for (t, _), _ in zip(iter(make()), range(20))]
+    seq2 = [t for (t, _), _ in zip(iter(make()), range(20))]
+    assert seq1 == seq2
+    assert set(seq1) == {"a", "b"}
+    # task is constant within each accumulation window
+    for i in range(0, 20, 2):
+        assert seq1[i] == seq1[i + 1]
+    # mix ratio 1:2 shows up in the draw frequency over a longer run
+    seq3 = [t for (t, _), _ in zip(iter(make()), range(300))]
+    assert seq3.count("b") > seq3.count("a")
