@@ -184,6 +184,22 @@ def annotation2json(annotation_file: str, format: str = "flickr",
     return dict(res)
 
 
+def parse_rt_log(log_file: str, n_captions: int = 5, max_len: int = 12
+                 ) -> Dict[str, List[str]]:
+    """Parse generated-caption logs (extract_generated_caption.py:72-88):
+    blocks of n_captions lines preceding each 'image <name>.jpg:' marker."""
+    with open(log_file) as f:
+        lines = [l.strip() for l in f.readlines()]
+    idx = [i for i, l in enumerate(lines) if "image " in l and ".jpg:" in l]
+    res = {}
+    for i in idx:
+        captions = lines[max(i - n_captions - 1, 0):i - 1]
+        name = (lines[i].split()[1]).split(".")[0]
+        name = "flickr30k_" + "0" * (max_len - len(name)) + name + ".npz"
+        res[name] = captions
+    return res
+
+
 def main(cmds=None):
     parser = argparse.ArgumentParser("prepro")
     sub = parser.add_subparsers(dest="task", required=True)

@@ -41,6 +41,34 @@ def _topk_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     return jax.lax.top_k(scores + pad_bias[None, :], k)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _topk_scores_chunked(queries: jnp.ndarray, corpus: jnp.ndarray,
+                         pad_bias: jnp.ndarray, k: int, chunk: int):
+    """Streaming top-k: scores computed per corpus chunk with a running
+    merge, so the full [Q, N] matrix never hits HBM (N x Q can reach
+    gigabytes during mining/eval over large corpora)."""
+    q_n = queries.shape[0]
+    n_chunks = corpus.shape[0] // chunk
+
+    def body(c, carry):
+        best_s, best_i = carry
+        rows = jax.lax.dynamic_slice_in_dim(corpus, c * chunk, chunk)
+        bias = jax.lax.dynamic_slice_in_dim(pad_bias, c * chunk, chunk)
+        scores = jnp.dot(queries, rows.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + bias[None, :]
+        s, i = jax.lax.top_k(scores, k)
+        i = i + c * chunk
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, i], axis=1)
+        best_s, sel = jax.lax.top_k(cat_s, k)
+        best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return best_s, best_i
+
+    init = (jnp.full((q_n, k), NEG_INF, jnp.float32),
+            jnp.zeros((q_n, k), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 class DenseFlatIndex:
     """Exact inner-product index on a single device (or host CPU).
 
@@ -94,7 +122,11 @@ class DenseFlatIndex:
 
     def _build(self):
         if self._corpus is None:
-            mat, bias = self._padded_matrix(128)
+            n = sum(c.shape[0] for c in self._chunks)
+            # big corpora align to the streaming chunk so the chunked
+            # top-k kernel applies (<=50 MB padding waste, only when large)
+            multiple = self.CORPUS_CHUNK if n > 4 * self.CORPUS_CHUNK else 128
+            mat, bias = self._padded_matrix(multiple)
             self._corpus = jnp.asarray(mat)
             self._pad_bias = jnp.asarray(bias)
             if self._device is not None:
@@ -102,8 +134,18 @@ class DenseFlatIndex:
                 self._pad_bias = jax.device_put(self._pad_bias, self._device)
         return self._corpus
 
+    # cap on the transient [Q, N] score matrix before switching to the
+    # streaming chunked kernel (elements; 256M f32 = 1 GB)
+    SCORE_BUDGET = 256 * 1024 * 1024
+    CORPUS_CHUNK = 16384
+
     # -- searching -----------------------------------------------------------
     def _search_block(self, qb: jnp.ndarray, k: int):
+        n = self._corpus.shape[0]
+        if (qb.shape[0] * n > self.SCORE_BUDGET
+                and n % self.CORPUS_CHUNK == 0 and k <= self.CORPUS_CHUNK):
+            return _topk_scores_chunked(qb, self._corpus, self._pad_bias, k,
+                                        self.CORPUS_CHUNK)
         return _topk_scores(qb, self._corpus, self._pad_bias, k)
 
     def search_knn(self, query_vectors: np.ndarray, top_docs: int,

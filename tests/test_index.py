@@ -88,3 +88,36 @@ def test_serialize_roundtrip(tmp_path, rng):
     r2 = index2.search_knn(q, 5)
     for (a, _), (b, _) in zip(r1, r2):
         assert a == b
+
+
+def test_chunked_topk_matches_dense(rng):
+    """The streaming chunked kernel must equal the one-shot matmul top-k."""
+    import jax.numpy as jnp
+
+    from lightningdot_tpu.index.dense import (_topk_scores,
+                                              _topk_scores_chunked)
+
+    n, d, q_n, k, chunk = 1024, 32, 16, 10, 128
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    bias = jnp.zeros((n,), jnp.float32).at[-50:].set(-1e30)
+    q = jnp.asarray(rng.standard_normal((q_n, d)).astype(np.float32))
+    s1, i1 = _topk_scores(q, corpus, bias, k)
+    s2, i2 = _topk_scores_chunked(q, corpus, bias, k, chunk)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_large_corpus_uses_chunked_path(rng):
+    """Force the budget trigger with a small budget and verify results."""
+    ids, vecs = make_corpus(rng, n=700, d=16)
+    index = DenseFlatIndex(16)
+    index.CORPUS_CHUNK = 128
+    index.SCORE_BUDGET = 1000  # force chunked path
+    index.index_data(list(zip(ids, vecs)))
+    # corpus must be chunk-aligned for the streaming kernel
+    index._build()
+    q = rng.standard_normal((9, 16)).astype(np.float32)
+    res = index.search_knn(q, 7)
+    expected = brute_force(q, vecs, ids, 7)
+    for (got_ids, _), exp in zip(res, expected):
+        assert got_ids == exp
