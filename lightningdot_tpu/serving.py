@@ -112,6 +112,20 @@ class Retriever:
                 self._bias, NamedSharding(self.mesh, P(DP_AXIS)))
         self._fns.clear()
 
+    def warmup(self, tops: Sequence[int] = (100,)) -> None:
+        """Precompile the fused query program for every (bucket, k) pair so
+        first real queries hit the compiled path (cold compiles cost
+        seconds; p50 latency claims assume warm programs)."""
+        for L in self.query_buckets:
+            ids = jnp.zeros((1, L), jnp.int32)
+            mask = jnp.ones((1, L), jnp.int32)
+            scales = (self._scales if self._scales is not None
+                      else jnp.zeros((0,), jnp.float32))
+            for top in tops:
+                k = min(top, len(self._ids))
+                self._query_fn(L, k)(self.params, ids, mask, self._corpus,
+                                     self._bias, scales)
+
     # -- query ---------------------------------------------------------------
     def _query_fn(self, length: int, k: int):
         key = (length, k)

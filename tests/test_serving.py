@@ -174,3 +174,15 @@ def test_int8_quantized_retrieval_matches_exact(rng):
     r1 = quant.retrieve_query("a dog runs", top=5)
     r2 = q2.retrieve_query("a dog runs", top=5)
     assert [i for i, _ in r1] == [i for i, _ in r2]
+
+
+def test_warmup_precompiles_buckets(rng):
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    r = Retriever(model, params, FakeTokenizer(), query_buckets=(16, 32))
+    r.set_corpus([f"i{i}" for i in range(150)],
+                 rng.standard_normal((150, 32)).astype(np.float32))
+    r.warmup(tops=(10,))
+    assert set(r._fns) == {(16, 10), (32, 10)}
+    res = r.retrieve_query("a dog", top=10)
+    assert len(res) == 10
