@@ -12,12 +12,10 @@ import json
 import os
 import pickle
 
-import numpy as np
 
 from lightningdot_tpu.config import parse_with_config, print_args
 from lightningdot_tpu.data.feat_db import DetectFeatDb
 from lightningdot_tpu.data.txt_db import TxtTokDb
-from lightningdot_tpu.models.factory import resolve_encoder_config
 from lightningdot_tpu.training.cross_scorer import CrossScorer
 from lightningdot_tpu.utils.logging import LOGGER
 from lightningdot_tpu.utils.runtime import setup_runtime

@@ -20,7 +20,6 @@ from collections import defaultdict
 from typing import Any, Dict
 
 import jax
-import numpy as np
 
 from lightningdot_tpu.config import parse_with_config, print_args
 from lightningdot_tpu.const import BUCKET_SIZE, IMG_LABEL_DIM

@@ -20,7 +20,6 @@ import itertools
 import json
 import pickle
 import time
-from typing import Dict, List
 
 import numpy as np
 

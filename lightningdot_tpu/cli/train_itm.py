@@ -15,7 +15,6 @@ import json
 import os
 import random
 import time
-from typing import Optional
 
 import jax
 import numpy as np
@@ -26,7 +25,7 @@ from lightningdot_tpu.config import (add_itm_params, add_kd_params,
 from lightningdot_tpu.data.feat_db import ImageDbGroup
 from lightningdot_tpu.data.itm import (CollateConfig, itm_fast_collate,
                                        make_teacher_batch)
-from lightningdot_tpu.models.factory import build_biencoder, resolve_encoder_config
+from lightningdot_tpu.models.factory import build_biencoder
 from lightningdot_tpu.parallel.mesh import data_parallel_mesh, replicate
 from lightningdot_tpu.training import hn as hn_mod
 from lightningdot_tpu.training.checkpoints import save_checkpoint

@@ -19,7 +19,7 @@ import io
 import json
 from collections import defaultdict
 from os.path import exists, join
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

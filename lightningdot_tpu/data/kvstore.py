@@ -11,7 +11,7 @@ import ctypes
 import mmap
 import os
 import struct
-from typing import Dict, Iterable, Iterator, Optional, Tuple, Union
+from typing import Dict, Iterable, Optional, Tuple, Union
 
 _MAGIC = b"LDKV0001"
 _HEADER = struct.Struct("<8sQQ")          # magic, n, index_offset

@@ -22,7 +22,6 @@ import random
 import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
-import numpy as np
 
 
 class TokenBucketSampler:

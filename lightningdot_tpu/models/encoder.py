@@ -32,7 +32,7 @@ remat-friendly); matmuls run in bf16 with f32 accumulation when
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ logits on the same masked positions, mse (mrfr) or KL (others) vs student.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from lightningdot_tpu.models.bi_encoder import BiEncoder, BiEncoderNllLoss
+from lightningdot_tpu.models.bi_encoder import BiEncoder
 
 
 @dataclasses.dataclass

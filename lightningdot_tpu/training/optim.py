@@ -11,7 +11,6 @@ Parity:
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Sequence, Tuple
 
 import jax

@@ -7,7 +7,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence, Union
 
 from lightningdot_tpu.data.feat_db import ImageDbGroup
-from lightningdot_tpu.data.itm import CollateConfig, ItmFastDataset, itm_fast_collate
+from lightningdot_tpu.data.itm import ItmFastDataset
 from lightningdot_tpu.data.loader import DataLoader
 from lightningdot_tpu.data.txt_db import TxtTokDb
 

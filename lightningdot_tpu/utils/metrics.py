@@ -11,7 +11,7 @@ Two recall formulations exist in the reference and both are reproduced:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Mapping, Sequence
+from typing import Any, Dict, Mapping, Sequence
 
 import numpy as np
 
