@@ -186,3 +186,24 @@ def test_warmup_precompiles_buckets(rng):
     assert set(r._fns) == {(16, 10), (32, 10)}
     res = r.retrieve_query("a dog", top=10)
     assert len(res) == 10
+
+
+def test_int8_weight_quantized_encoder_fidelity(rng):
+    """int8-weight tower produces near-identical rankings to full precision."""
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    ids = [f"i{i}" for i in range(400)]
+    vecs = rng.standard_normal((400, 32)).astype(np.float32)
+
+    full = Retriever(model, params, FakeTokenizer())
+    full.set_corpus(ids, vecs)
+    q8 = Retriever(model, params, FakeTokenizer(), weight_quantization="int8")
+    q8.set_corpus(ids, vecs)
+
+    overlap = 0.0
+    queries = ["a dog runs fast", "red car in town", "people on a hill"]
+    for q in queries:
+        top_f = [i for i, _ in full.retrieve_query(q, top=10)]
+        top_q = [i for i, _ in q8.retrieve_query(q, top=10)]
+        overlap += len(set(top_f) & set(top_q)) / 10
+    assert overlap / len(queries) > 0.8
