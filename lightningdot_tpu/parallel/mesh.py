@@ -101,11 +101,12 @@ def assert_same_across_hosts(value, what: str = "value") -> None:
 
     from jax.experimental import multihost_utils
 
+    # 32-bit digest: jax without x64 silently truncates wider ints
     digest = int.from_bytes(
-        hashlib.sha256(pickle.dumps(value)).digest()[:8], "big")
+        hashlib.sha256(pickle.dumps(value)).digest()[:4], "big")
     gathered = np.asarray(multihost_utils.process_allgather(
-        np.uint64(digest)))
-    if not (gathered == np.uint64(digest)).all():
+        np.uint32(digest)))
+    if not (gathered == np.uint32(digest)).all():
         raise RuntimeError(
             f"hosts out of sync on {what} (digests {gathered.tolist()}) — "
             "workers must enter collectives together (check seeds / data "
