@@ -207,3 +207,23 @@ def test_int8_weight_quantized_encoder_fidelity(rng):
         top_q = [i for i, _ in q8.retrieve_query(q, top=10)]
         overlap += len(set(top_f) & set(top_q)) / 10
     assert overlap / len(queries) > 0.8
+
+
+def test_full_int8_serving_path(rng):
+    """weight_quantization + corpus quantization compose."""
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    ids = [f"i{i}" for i in range(300)]
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    full = Retriever(model, params, FakeTokenizer())
+    full.set_corpus(ids, vecs)
+    q = Retriever(model, params, FakeTokenizer(), quantization="int8",
+                  weight_quantization="int8")
+    q.set_corpus(ids, vecs)
+    overlap = 0.0
+    queries = ["a dog", "small cat by a tree", "cars on the road"]
+    for text in queries:
+        a = {i for i, _ in full.retrieve_query(text, top=10)}
+        b = {i for i, _ in q.retrieve_query(text, top=10)}
+        overlap += len(a & b) / 10
+    assert overlap / len(queries) > 0.7
