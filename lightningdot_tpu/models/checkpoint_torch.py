@@ -164,7 +164,10 @@ def map_bi_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
 
 def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
                        ) -> Dict[str, Any]:
-    """Map a BiEncoderForPretraining state dict -> {'bert', 'heads'}."""
+    """Map a BiEncoderForPretraining state dict -> {'bert', 'heads'}.
+
+    Head-only state dicts (no 'bert.' keys) yield {'bert': None, 'heads'}.
+    """
     sd = normalize_keys(sd)
     bert = {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
     heads: Dict[str, Any] = {}
@@ -190,7 +193,8 @@ def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
         }
     if "itm_output.weight" in sd:
         heads["itm_output"] = _lin(sd, "itm_output")
-    return {"bert": map_bi_encoder(bert, num_layers=num_layers),
+    return {"bert": (map_bi_encoder(bert, num_layers=num_layers)
+                     if bert else None),
             "heads": heads}
 
 
