@@ -65,3 +65,33 @@ def test_encoder_config_json_roundtrip(tmp_path):
     d = cfg.to_dict()
     d["architectures"] = ["BertForMaskedLM"]
     assert EncoderConfig.from_dict(d) == cfg
+
+
+def test_lr_schedules_match_reference_formulas():
+    """training/optim schedules vs the reference python formulas
+    (bi_encoder.py:668-680, uniter optim/sched.py:7-16,35-52)."""
+    import numpy as np
+
+    from lightningdot_tpu.training.optim import (get_lr_sched, noam_schedule,
+                                                 schedule_linear,
+                                                 warmup_linear)
+
+    lr, warm, total = 2e-4, 10, 100
+    sched = schedule_linear(lr, warm, total)
+    for step in (0, 1, 5, 10, 11, 50, 99, 100, 150):
+        if step < warm:
+            want = lr * step / max(1, warm)
+        else:
+            want = lr * max(0.0, (total - step) / max(1, total - warm))
+        assert abs(float(sched(step)) - want) < 1e-10, step
+
+    for step in (1, 10, 4000, 4001, 10000):
+        want = (step / 4000) if step <= 4000 else (4000 ** 0.5) * step ** -0.5
+        assert abs(float(noam_schedule(step, 4000)) - want) < 1e-6
+
+    inv = get_lr_sched("invsqrt", lr, 100, 1000)
+    lin = get_lr_sched("linear", lr, 100, 1000)
+    const = get_lr_sched("constant", lr, 100, 1000)
+    assert abs(float(const(123)) - lr) < 1e-12
+    assert float(lin(2000)) == 1e-8  # floor guard (sched.py:49-51)
+    assert float(inv(100)) == lr * 1.0
