@@ -94,4 +94,4 @@ def test_lr_schedules_match_reference_formulas():
     const = get_lr_sched("constant", lr, 100, 1000)
     assert abs(float(const(123)) - lr) < 1e-9  # f32 precision
     assert abs(float(lin(2000)) - 1e-8) < 1e-12  # floor guard (sched.py:49-51)
-    assert float(inv(100)) == lr * 1.0
+    assert abs(float(inv(100)) - lr) < 1e-9
