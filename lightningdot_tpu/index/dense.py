@@ -235,15 +235,12 @@ class DenseShardedIndex(DenseFlatIndex):
             i_top = jnp.take_along_axis(i_cat, sel, axis=1)
             return s_top, i_top
 
-        from jax.experimental.shard_map import shard_map
-        try:
-            fn = shard_map(shard_fn, mesh=mesh,
-                           in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS)),
-                           out_specs=(P(), P()), check_rep=False)
-        except TypeError:  # jax >= 0.7 renamed the kwarg
-            fn = shard_map(shard_fn, mesh=mesh,
-                           in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS)),
-                           out_specs=(P(), P()), check_vma=False)
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # jax < 0.6 fallback
+            from jax.experimental.shard_map import shard_map
+        fn = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS)),
+                       out_specs=(P(), P()), check_vma=False)
         self._search_fn = jax.jit(fn)
         self._search_fn_k = k
         return self._search_fn
