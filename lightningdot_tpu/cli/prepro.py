@@ -128,6 +128,69 @@ def process_caption(data, tokenizer, split: str):
     return examples, txt2img, dict(img2txts)
 
 
+def process_conceptual_caption(tsv_lines, imgs, tokenizer, split: str):
+    """Conceptual Captions tsv -> records (prepro.py:331-355).
+
+    Row format: ``id \\t url \\t caption \\t success|fail``; only successful
+    downloads whose feature file exists in ``imgs`` are kept. ``imgs`` may be
+    None to skip the existence filter (features converted later).
+    """
+    examples, txt2img = {}, {}
+    img2txts = defaultdict(list)
+    for line in tsv_lines:
+        line = line.strip()
+        if not line:
+            continue
+        fields = line.split("\t")
+        assert len(fields) == 4, f"bad CC row: {line!r}"
+        id_, _, caption, success = fields
+        if success == "fail":
+            continue
+        assert success == "success", f"bad CC status: {success!r}"
+        input_ids, toked = bert_tokenize(tokenizer, caption)
+        assert input_ids  # safeguard for empty text (prepro.py:342)
+        img_fname = f"gcc_{split}_{int(id_):012}.npz"
+        if imgs is not None and img_fname not in imgs:
+            continue
+        examples[id_] = {
+            "id": id_, "toked_caption": toked, "input_ids": input_ids,
+            "img_fname": img_fname,
+        }
+        txt2img[id_] = img_fname
+        img2txts[img_fname].append(id_)
+    return examples, txt2img, dict(img2txts)
+
+
+def process_sbu_caption(data, tokenizer):
+    """SBU caption json -> records (prepro.py:358-381).
+
+    ``data``: list of {'iid', 'sent', 'file_path'} entries; the known
+    corrupted image 0347/565.jpg is skipped, and numeric iids are
+    canonicalized through int() (the reference's feature-extraction quirk).
+    """
+    examples, txt2img = {}, {}
+    img2txts = defaultdict(list)
+    for ex in data:
+        if ex["file_path"] == "0347/565.jpg":
+            # special case for corrupted image (prepro.py:362-364)
+            continue
+        id_ = ex["iid"]
+        input_ids, toked = bert_tokenize(tokenizer, ex["sent"])
+        assert input_ids  # safeguard for empty text
+        try:
+            id_ = str(int(id_))  # sbu feature extraction quirk
+        except ValueError:
+            pass
+        img_fname = f"sbu_{id_}.npz"
+        examples[id_] = {
+            "id": id_, "toked_caption": toked, "input_ids": input_ids,
+            "img_fname": img_fname,
+        }
+        txt2img[id_] = img_fname
+        img2txts[img_fname].append(id_)
+    return examples, txt2img, dict(img2txts)
+
+
 def convert_imgdir(img_dir: str, output: str, conf_th: float = 0.2,
                    max_bb: int = 100, min_bb: int = 10, num_bb: int = 36,
                    keep_all: bool = False) -> str:
@@ -208,12 +271,15 @@ def main(cmds=None):
     p_txt.add_argument("--annotation", required=True)
     p_txt.add_argument("--output", required=True)
     p_txt.add_argument("--format", default="itm",
-                       choices=["itm", "caption"])
+                       choices=["itm", "caption", "conceptual", "sbu"])
     p_txt.add_argument("--dataset", default="flickr",
                        choices=["flickr", "coco"])
     p_txt.add_argument("--split", default="val2014")
     p_txt.add_argument("--bert", default="bert-base-cased")
     p_txt.add_argument("--vocab", default=None)
+    p_txt.add_argument("--img_db", default=None,
+                       help="conceptual: existing feature DB dir used to "
+                            "filter texts to downloaded images")
 
     p_img = sub.add_parser("img", help="npz dir -> feature DB")
     p_img.add_argument("--img_dir", required=True)
@@ -235,13 +301,30 @@ def main(cmds=None):
     args = parser.parse_args(cmds)
     if args.task == "txt":
         tokenizer = get_tokenizer(args.bert, args.vocab)
-        with open(args.annotation) as f:
-            data = json.load(f)
-        if args.format == "itm":
+        if args.format == "conceptual":
+            imgs = None
+            if args.img_db:
+                nbb_files = glob.glob(os.path.join(args.img_db, "nbb*.json"))
+                assert nbb_files, f"no nbb json under {args.img_db}"
+                with open(nbb_files[0]) as f:
+                    imgs = set(json.load(f).keys())
+            with open(args.annotation) as f:
+                examples, txt2img, img2txts = process_conceptual_caption(
+                    f, imgs, tokenizer, args.split)
+        elif args.format == "sbu":
+            with open(args.annotation) as f:
+                data = json.load(f)
+            examples, txt2img, img2txts = process_sbu_caption(data,
+                                                              tokenizer)
+        elif args.format == "itm":
+            with open(args.annotation) as f:
+                data = json.load(f)
             images = data["images"] if isinstance(data, dict) else data
             examples, txt2img, img2txts = process_image_text_retrieval(
                 images, tokenizer, args.dataset, args.split)
         else:
+            with open(args.annotation) as f:
+                data = json.load(f)
             examples, txt2img, img2txts = process_caption(
                 data, tokenizer, args.split)
         write_txt_db(args.output, examples, meta_for(tokenizer), txt2img,

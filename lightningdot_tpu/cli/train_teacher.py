@@ -5,6 +5,18 @@ with the sigmoid-triplet ranking loss over ItmRankDataset groups; periodic
 validation; saves a teacher checkpoint directory (config.json + model)
 directly consumable by the KD path (cli/train_itm._load_teacher) and the
 re-ranker.
+
+Variants (all from the reference teacher recipes):
+  * ``--hard_neg_size > 0``: mined hard negatives — an initial + periodic
+    (``--steps_per_hard_neg``) mining pass over random candidate pools
+    (ItmHardNegDataset) feeds ItmRankDatasetHardNeg
+    (train_itm.py:118-136,191-193,266-270).
+  * ``--self_mining``: in-batch self-mining — CrossEncoderHardNeg scores a
+    candidate group and trains on the top-``hard_size`` negatives,
+    alternating text-shared / image-shared groups
+    (train_itm_v2.py:92-101 + model/itm.py:56-137).
+  * ``--model_variant fast``: two-stream cosine teacher
+    (UniterForImageTextRetrievalFast, model/itm.py:140-195).
 """
 from __future__ import annotations
 
@@ -43,6 +55,23 @@ def build_parser():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--neg_sample_size", default=1, type=int)
     p.add_argument("--margin", default=0.2, type=float)
+    p.add_argument("--model_variant", default="joint",
+                   choices=["joint", "fast"],
+                   help="joint = UniterForImageTextRetrieval; fast = "
+                        "two-stream cosine (itm.py:140-195)")
+    p.add_argument("--hard_neg_size", default=0, type=int,
+                   help=">0 trains on mined hard negatives "
+                        "(ItmRankDatasetHardNeg)")
+    p.add_argument("--hard_neg_pool_size", default=20, type=int,
+                   help="mined hard negatives kept per text/image")
+    p.add_argument("--steps_per_hard_neg", default=-1, type=int,
+                   help="re-mine every N steps (-1 = mine once at start)")
+    p.add_argument("--inf_minibatch_size", default=400, type=int,
+                   help="random candidate pool size for mining")
+    p.add_argument("--self_mining", action="store_true",
+                   help="in-batch self-mining (CrossEncoderHardNeg + "
+                        "FromText/FromImage groups, train_itm_v2 flow)")
+    p.add_argument("--self_mining_hard_size", default=16, type=int)
     p.add_argument("--train_batch_size", default=8, type=int,
                    help="groups per batch (each 1+2n pairs)")
     p.add_argument("--learning_rate", default=5e-5, type=float)
@@ -71,7 +100,12 @@ def main(cmds=None):
 
     cfg = resolve_encoder_config(args.model_config)
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
-    if args.checkpoint:
+    if args.model_variant == "fast":
+        from lightningdot_tpu.models.cross_encoder import CrossEncoderFast
+        model = CrossEncoderFast(cfg, margin=args.margin, compute_dtype=dtype)
+        params = jax.tree.map(jnp.asarray,
+                              model.init(jax.random.PRNGKey(args.seed)))
+    elif args.checkpoint:
         from lightningdot_tpu.models.factory import load_cross_encoder
         model, params = load_cross_encoder(
             args.checkpoint, model_config=args.model_config,
@@ -84,55 +118,153 @@ def main(cmds=None):
     txt_db = TxtTokDb(args.train_txt_db, args.max_txt_len)
     img_db = DetectFeatDb(args.train_img_db, args.conf_th, args.max_bb,
                           args.min_bb, args.num_bb)
-    dataset = ItmRankDataset(txt_db, img_db, args.neg_sample_size,
-                             seed=args.seed)
-    loader = DataLoader(dataset, batch_size=args.train_batch_size,
-                        shuffle=True, drop_last=True,
-                        collate_fn=itm_rank_collate, seed=args.seed)
 
     lr = schedule_linear(args.learning_rate, args.warmup_steps,
                          args.num_train_steps)
     tx = make_optimizer(lr, max_grad_norm=args.max_grad_norm)
     state = create_train_state(params, tx)
 
-    sample_size = 1 + 2 * args.neg_sample_size  # static group width
+    import optax
 
-    def train_step(state: TrainState, batch, rng):
-        def loss_fn(p):
-            loss = model.apply(p, batch, compute_loss=True,
-                               deterministic=False, rng=rng,
-                               sample_size=sample_size)
-            return loss.mean()
+    def _loop(loader):
+        while True:
+            yield from loader
 
-        import optax
+    # ---- mode-specific dataset(s) + jitted step(s) -------------------------
+    hard_neg_dir = os.path.join(args.output_dir, "results_train")
+    mine = None
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, opt_state, state.step + 1), loss
+    if args.self_mining:
+        assert args.model_variant == "joint", \
+            "self-mining is defined for the joint cross-encoder"
+        # train_itm_v2 flow: one candidate group per step, alternating
+        # text-shared / image-shared; in-batch top-hard_size mining on device
+        from lightningdot_tpu.data.itm_rank import (
+            ItmRankDatasetHardNegFromImage, ItmRankDatasetHardNegFromText,
+            itm_rank_hn_collate)
+        from lightningdot_tpu.models.cross_encoder import CrossEncoderHardNeg
 
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
+        model = CrossEncoderHardNeg(cfg, margin=args.margin,
+                                    compute_dtype=dtype,
+                                    hard_size=args.self_mining_hard_size)
+        assert args.neg_sample_size > args.self_mining_hard_size, (
+            "self-mining needs a candidate pool larger than hard_size")
+        ds_t = ItmRankDatasetHardNegFromText(txt_db, img_db,
+                                             args.neg_sample_size,
+                                             seed=args.seed)
+        ds_i = ItmRankDatasetHardNegFromImage(txt_db, img_db,
+                                              args.neg_sample_size,
+                                              seed=args.seed + 1)
+        loaders = [
+            _loop(DataLoader(ds, batch_size=1, shuffle=True, drop_last=True,
+                             collate_fn=itm_rank_hn_collate, seed=args.seed))
+            for ds in (ds_t, ds_i)]
+
+        def make_step(sample_from):
+            def train_step(state: TrainState, batch, rng):
+                def loss_fn(p):
+                    loss = model.apply(p, batch, compute_loss=True,
+                                       deterministic=False, rng=rng,
+                                       sample_from=sample_from)
+                    return loss.mean()
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return (TrainState(new_params, opt_state, state.step + 1),
+                        loss)
+
+            return jax.jit(train_step, donate_argnums=(0,))
+
+        step_fns = [make_step("t"), make_step("i")]
+
+        def next_batch(global_step):
+            side = global_step % 2
+            batch = next(loaders[side])
+            mb = {k: v for k, v in batch.items() if k != "sample_size"}
+            return step_fns[side], mb
+    else:
+        if args.hard_neg_size > 0:
+            from lightningdot_tpu.data.itm import ItmHardNegDataset
+            from lightningdot_tpu.data.itm_rank import ItmRankDatasetHardNeg
+            from lightningdot_tpu.training.hn_teacher import (
+                compute_hard_neg, make_fast_score_fn, make_joint_score_fn)
+
+            dataset = ItmRankDatasetHardNeg(
+                txt_db, img_db, args.neg_sample_size, args.hard_neg_size,
+                seed=args.seed)
+            hn_dataset = ItmHardNegDataset(txt_db, img_db,
+                                           args.inf_minibatch_size,
+                                           seed=args.seed)
+            sample_size = 1 + 2 * (args.neg_sample_size + args.hard_neg_size)
+
+            def mine(state):
+                make_fn = (make_fast_score_fn
+                           if args.model_variant == "fast"
+                           else make_joint_score_fn)
+                score_fn = make_fn(model, state.params)
+                compute_hard_neg(score_fn,
+                                 (hn_dataset[i]
+                                  for i in range(len(hn_dataset))),
+                                 dataset, args.hard_neg_pool_size,
+                                 hard_neg_dir)
+        else:
+            dataset = ItmRankDataset(txt_db, img_db, args.neg_sample_size,
+                                     seed=args.seed)
+            sample_size = 1 + 2 * args.neg_sample_size  # static group width
+
+        loader = _loop(DataLoader(dataset, batch_size=args.train_batch_size,
+                                  shuffle=True, drop_last=True,
+                                  collate_fn=itm_rank_collate,
+                                  seed=args.seed))
+
+        def train_step(state: TrainState, batch, rng):
+            def loss_fn(p):
+                loss = model.apply(p, batch, compute_loss=True,
+                                   deterministic=False, rng=rng,
+                                   sample_size=sample_size)
+                return loss.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, opt_state, state.step + 1), loss
+
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
+        drop = ("n_groups", "sample_size", "attn_masks_text",
+                "attn_masks_img") if args.model_variant != "fast" else (
+                "n_groups", "sample_size", "attn_masks")
+
+        def next_batch(global_step):
+            batch = next(loader)
+            mb = {k: v for k, v in batch.items() if k not in drop}
+            return step_fn, mb
+
+    if mine is not None:
+        mine(state)  # initial mining pass (train_itm.py:191-193)
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
     t0 = time.time()
     losses = []
     while global_step < args.num_train_steps:
-        for batch in loader:
-            mb = {k: v for k, v in batch.items()
-                  if k not in ("n_groups", "sample_size")}
-            state, loss = step_fn(state, mb,
-                                  jax.random.fold_in(rng, global_step))
-            losses.append(loss)
-            global_step += 1
-            if global_step % max(args.valid_steps, 1) == 0 or \
-                    global_step >= args.num_train_steps:
-                mean_loss = float(np.mean([float(l) for l in losses[-50:]]))
-                LOGGER.info("step %d: triplet loss=%.4f (%.1f steps/s)",
-                            global_step, mean_loss,
-                            global_step / (time.time() - t0))
-            if global_step >= args.num_train_steps:
-                break
+        fn, mb = next_batch(global_step)
+        state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))
+        losses.append(loss)
+        global_step += 1
+        if global_step % max(args.valid_steps, 1) == 0 or \
+                global_step >= args.num_train_steps:
+            mean_loss = float(np.mean([float(l) for l in losses[-50:]]))
+            LOGGER.info("step %d: triplet loss=%.4f (%.1f steps/s)",
+                        global_step, mean_loss,
+                        global_step / (time.time() - t0))
+        if (mine is not None and args.steps_per_hard_neg > 0
+                and global_step % args.steps_per_hard_neg == 0
+                and global_step < args.num_train_steps):
+            # periodic re-mining (train_itm.py:266-270)
+            mine(state)
 
     # save the teacher directory (consumable by _load_teacher / rerank)
     with open(os.path.join(args.output_dir, "config.json"), "w") as f:

@@ -27,6 +27,9 @@ class EncoderConfig:
     vocab_size: int = 28996
     hidden_size: int = 768
     num_hidden_layers: int = 12
+    # image-stream depth for the two-stream 'Fast' cross-encoder
+    # (UniterConfig num_hidden_layers_img, uniter_model/model/model.py:30)
+    num_hidden_layers_img: int = 1
     num_attention_heads: int = 12
     intermediate_size: int = 3072
     hidden_act: str = "gelu"

@@ -199,6 +199,9 @@ class ItmValDataset:
         self.txt2img = txt_db.txt2img
         self.img2txts = txt_db.img2txts
         self.all_img_ids = list(self.img2txts.keys())
+        # O(1) gt lookup (the reference's list.index scan, itm.py:318, is
+        # O(N) per item -> O(N^2) over an eval sweep)
+        self._img_pos = {im: j for j, im in enumerate(self.all_img_ids)}
         assert len(self.img2txts) >= mini_batch_size > 0
         self.bs = mini_batch_size
 
@@ -209,7 +212,7 @@ class ItmValDataset:
         """itm.py:303-322."""
         gt_txt_id = self.ids[i]
         gt_img_id = self.txt2img[gt_txt_id]
-        j = self.all_img_ids.index(gt_img_id)
+        j = self._img_pos[gt_img_id]
         neg_st = j + 1
         neg_end = neg_st + self.bs - 1
         if neg_end > len(self.all_img_ids):
@@ -223,7 +226,15 @@ class ItmValDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         gt_img_id, neg_img_ids = self._get_batch_ids(i)
-        img_ids = [gt_img_id] + neg_img_ids
+        return self.get_batch(i, [gt_img_id] + neg_img_ids)
+
+    def get_batch(self, i: int, img_ids: List[str],
+                  bucket: bool = False) -> Dict[str, Any]:
+        """Text i paired with each of ``img_ids`` (itm.py:343-380).
+
+        ``bucket=True`` pads text/region lengths up the static bucket
+        ladders (one compiled program per bucket instead of per item).
+        """
         ex = self.txt_db[self.ids[i]]
         input_ids = self.txt_db.combine_inputs(ex["input_ids"])
 
@@ -234,19 +245,61 @@ class ItmValDataset:
             poss.append(p)
             nbbs.append(n)
         n = len(img_ids)
-        L = len(input_ids)
-        R = max(nbbs)
+        if bucket:
+            L = bucket_len(len(input_ids), const.TXT_LEN_BUCKETS)
+            R = bucket_len(max(nbbs), const.IMG_LEN_BUCKETS)
+        else:
+            L = len(input_ids)
+            R = max(nbbs)
         return {
             "input_ids": pad_ids([input_ids] * n, L),
             "position_ids": position_ids(n, L),
             "img_feat": pad_feats(feats, R),
             "img_pos_feat": pad_feats(poss, R),
-            "attn_masks_text": np.ones((n, L), np.int32),
+            "attn_masks_text": pad_mask([len(input_ids)] * n, L),
             "attn_masks_img": pad_mask(nbbs, R),
             "gather_index": None,
             "img_ids": img_ids,
             "txt_id": self.ids[i],
         }
+
+
+class ItmHardNegDataset(ItmValDataset):
+    """Random candidate pools for teacher hard-negative mining.
+
+    Parity: ItmHardNegDataset (uniter_model/data/itm.py:529-549) — item i
+    pairs text i with ``mini_batch_size`` images sampled uniformly from the
+    corpus minus the ground truth (NO gt in the batch), carrying
+    ``gt_txt_id`` / ``neg_img_ids`` for the miner. Static bucket-ladder
+    padding so the scoring program compiles once per bucket.
+    """
+
+    def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
+                 mini_batch_size: int = 400, seed: int = 0):
+        super().__init__(txt_db, img_db, mini_batch_size)
+        import random as _random
+
+        self.rng = _random.Random(seed)
+
+    def _get_batch_ids(self, i: int):
+        gt_txt_id = self.ids[i]
+        gt_img_id = self.txt2img[gt_txt_id]
+        if len(self.all_img_ids) > self.bs:
+            # O(bs) sample (the reference deep-copies + shuffles the full
+            # corpus per item, itm.py:536-539)
+            cand = self.rng.sample(self.all_img_ids, self.bs + 1)
+            neg_img_ids = [im for im in cand if im != gt_img_id][:self.bs]
+        else:
+            neg_img_ids = [im for im in self.all_img_ids if im != gt_img_id]
+        assert len(neg_img_ids) == self.bs, "not enough neg samples"
+        return gt_img_id, neg_img_ids
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        _, neg_img_ids = self._get_batch_ids(i)
+        batch = self.get_batch(i, neg_img_ids, bucket=True)
+        batch["gt_txt_id"] = self.ids[i]
+        batch["neg_img_ids"] = neg_img_ids
+        return batch
 
 
 def make_teacher_batch(batch: Dict[str, Any], n_teacher: int

@@ -216,6 +216,31 @@ def map_cross_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
     return tree
 
 
+def map_cross_encoder_fast(sd: Mapping[str, np.ndarray], *,
+                           num_layers: int = 12, num_layers_img: int = 1
+                           ) -> Dict[str, Any]:
+    """Map UniterForImageTextRetrievalFast (uniter_model/model/itm.py:140-163):
+    full-depth ``bert`` text stream + ``img_bert`` image stream + heads."""
+    sd = normalize_keys(sd)
+    img_sd = {f"bert.{k}": v
+              for k, v in split_prefix(sd, "img_bert").items()}
+    tree = {
+        "bert": map_tower(sd, with_img=True, num_layers=num_layers),
+        "img_bert": map_tower(img_sd, with_img=True,
+                              num_layers=num_layers_img),
+    }
+    if "itm_output.weight" in sd:
+        tree["itm_output"] = _lin(sd, "itm_output")
+    if "rank_output.weight" in sd:
+        tree["rank_output"] = _lin(sd, "rank_output")
+    elif "itm_output.weight" in sd:
+        tree["rank_output"] = {
+            "kernel": tree["itm_output"]["kernel"][:, 1:2],
+            "bias": tree["itm_output"]["bias"][1:2],
+        }
+    return tree
+
+
 def load_biencoder_checkpoint(path: str, *, num_layers: int = 12
                               ) -> Dict[str, Any]:
     """File -> BiEncoder params tree (any supported layout)."""

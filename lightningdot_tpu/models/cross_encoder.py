@@ -83,6 +83,58 @@ class CrossEncoder:
         neg = scores[:, 1:]
         return jnp.clip(self.margin + neg - pos, 0.0, None)
 
+    def mine_and_apply(self, params: Params, batch, *, hard_size: int,
+                       sample_from: str = "t", deterministic=False, rng=None):
+        """In-batch self-mined hard-negative triplet loss.
+
+        Parity: UniterForImageTextRetrievalHardNeg.forward/_get_hard_batch
+        (uniter_model/model/itm.py:63-137): score the full candidate group
+        in eval mode without gradients (index 0 is the positive), keep the
+        top-``hard_size`` negatives, and train on [positive + hard
+        negatives] with the sigmoid-triplet loss.
+
+        TPU redesign: instead of the reference's host-side ``index_select``
+        + cut-to-minimum-padding (dynamic shapes), the hard batch is a
+        static-shape on-device gather — everything stays in one jitted
+        program. ``sample_from='t'`` shares the text across candidates,
+        ``'i'`` shares the image (itm.py:70-80 expand).
+        """
+        batch = dict(batch)
+        n = batch["attn_masks"].shape[0]
+
+        def expanded(x):
+            return (jnp.broadcast_to(x, (n,) + x.shape[1:])
+                    if x.shape[0] == 1 else x)
+
+        if sample_from == "t":
+            batch["input_ids"] = expanded(batch["input_ids"])
+        elif sample_from == "i":
+            batch["img_feat"] = expanded(batch["img_feat"])
+            batch["img_pos_feat"] = expanded(batch["img_pos_feat"])
+        else:
+            raise ValueError(f"sample_from={sample_from!r}")
+        batch["position_ids"] = expanded(batch["position_ids"])
+
+        # eval-mode scoring pass, no gradient (itm.py:82-86 torch.no_grad)
+        scores = self.rank_scores(jax.lax.stop_gradient(params), batch,
+                                  deterministic=True)[:, 0]
+        # NOTE first example is the positive (itm.py:103-105)
+        _, hard = jax.lax.top_k(scores[1:], hard_size)
+        indices = jnp.concatenate(
+            [jnp.zeros((1,), hard.dtype), hard + 1])
+
+        hard_batch = {
+            k: (jnp.take(v, indices, axis=0)
+                if hasattr(v, "shape") and v.shape and v.shape[0] == n else v)
+            for k, v in batch.items() if v is not None
+        }
+        # explicitly the base triplet forward (a subclass apply() routes
+        # back here when training — itm.py:87-89 super().forward)
+        return CrossEncoder.apply(self, params, hard_batch,
+                                  compute_loss=True,
+                                  deterministic=deterministic, rng=rng,
+                                  sample_size=hard_size + 1)
+
     def itm_scores(self, params: Params, batch, *, deterministic=True,
                    rng=None, targets=None, ot_inputs=None,
                    ot_pos_only: bool = False, compute_loss=True):
@@ -111,3 +163,121 @@ class CrossEncoder:
             nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
             return nll, ot_loss
         return rank_scores, ot_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEncoderHardNeg(CrossEncoder):
+    """Self-mining hard-negative teacher
+    (UniterForImageTextRetrievalHardNeg, uniter_model/model/itm.py:56-137).
+
+    ``apply`` in training mode scores the full candidate group without
+    gradients and trains the triplet loss on the top-``hard_size`` negatives
+    only; in eval mode it behaves exactly like the base class.
+    """
+
+    hard_size: int = 16
+
+    def apply(self, params: Params, batch, *, compute_loss=True,
+              deterministic=True, rng=None, sample_size=None,
+              sample_from: str = "t"):
+        if compute_loss and not deterministic:
+            return self.mine_and_apply(params, batch,
+                                       hard_size=self.hard_size,
+                                       sample_from=sample_from,
+                                       deterministic=deterministic, rng=rng)
+        return super().apply(params, batch, compute_loss=compute_loss,
+                             deterministic=deterministic, rng=rng,
+                             sample_size=sample_size)
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEncoderFast:
+    """Two-stream cosine teacher (UniterForImageTextRetrievalFast,
+    uniter_model/model/itm.py:140-195).
+
+    Text stream: the full-depth ``bert`` tower encoding text only; image
+    stream: a separate ``img_bert`` tower of ``cfg.num_hidden_layers_img``
+    layers encoding regions only (no [CLS] token). Score = cosine similarity
+    of the two tanh-pooled outputs (itm.py:183), trained with the same
+    sigmoid-triplet loss.
+
+    Both towers keep the full UniterModel parameter layout (the reference's
+    ``img_bert`` carries unused text embeddings too — kept for checkpoint
+    parity; they are never touched at apply time).
+    """
+
+    cfg: EncoderConfig
+    margin: float = 0.2
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    def init(self, rng) -> Params:
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        h, std = self.cfg.hidden_size, self.cfg.initializer_range
+        img_cfg = dataclasses.replace(
+            self.cfg, num_hidden_layers=self.cfg.num_hidden_layers_img)
+        return {
+            "bert": enc.init_encoder_tower(k1, self.cfg, with_img=True),
+            "img_bert": enc.init_encoder_tower(k2, img_cfg, with_img=True),
+            "itm_output": enc._dense_init(k3, h, 2, std),
+            "rank_output": enc._dense_init(k4, h, 1, std),
+        }
+
+    @staticmethod
+    def init_output(params: Params) -> Params:
+        """Seed rank head from itm head row 1 (itm.py:158-161)."""
+        return CrossEncoder.init_output(params)
+
+    @property
+    def img_cfg(self) -> EncoderConfig:
+        return dataclasses.replace(
+            self.cfg, num_hidden_layers=self.cfg.num_hidden_layers_img)
+
+    def rank_scores(self, params: Params, batch, *, deterministic=True,
+                    rng=None) -> jnp.ndarray:
+        """[B] cosine scores (itm.py:166-183)."""
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        n = batch["attn_masks_img"].shape[0]
+        ids = batch["input_ids"]
+        if ids.shape[0] == 1:
+            ids = jnp.broadcast_to(ids, (n,) + ids.shape[1:])
+        pos = jnp.broadcast_to(batch["position_ids"],
+                               (n, batch["position_ids"].shape[-1]))
+        txt_seq, _ = enc.encode_text(
+            params["bert"], self.cfg, ids, batch["attn_masks_text"], pos,
+            deterministic=deterministic, rng=rngs[0],
+            dtype=self.compute_dtype, remat=self.remat, project=False)
+        pooled_txt = enc.pooler(params["bert"]["pooler"], txt_seq,
+                                self.compute_dtype)
+        feat = batch["img_feat"]
+        if feat.shape[0] == 1:
+            feat = jnp.broadcast_to(feat, (n,) + feat.shape[1:])
+        pfeat = batch["img_pos_feat"]
+        if pfeat.shape[0] == 1:
+            pfeat = jnp.broadcast_to(pfeat, (n,) + pfeat.shape[1:])
+        img_seq = enc.encode_image_only(
+            params["img_bert"], self.img_cfg, batch["attn_masks_img"],
+            feat, pfeat, deterministic=deterministic, rng=rngs[1],
+            dtype=self.compute_dtype, remat=self.remat)
+        pooled_img = enc.pooler(params["img_bert"]["pooler"], img_seq,
+                                self.compute_dtype)
+        t = pooled_txt.astype(jnp.float32)
+        v = pooled_img.astype(jnp.float32)
+        eps = 1e-8  # torch.nn.CosineSimilarity default
+        return (jnp.sum(t * v, axis=-1)
+                / (jnp.maximum(jnp.linalg.norm(t, axis=-1), eps)
+                   * jnp.maximum(jnp.linalg.norm(v, axis=-1), eps)))
+
+    def apply(self, params: Params, batch, *, compute_loss=True,
+              deterministic=True, rng=None, sample_size=None):
+        """itm.py:185-195: sigmoid-triplet over sample_size groups."""
+        rank = self.rank_scores(params, batch, deterministic=deterministic,
+                                rng=rng)
+        if not compute_loss:
+            return rank
+        if sample_size is None:
+            sample_size = batch["sample_size"]
+        scores = jax.nn.sigmoid(rank).reshape(-1, sample_size)
+        pos = scores[:, :1]
+        neg = scores[:, 1:]
+        return jnp.clip(self.margin + neg - pos, 0.0, None)

@@ -32,6 +32,7 @@ remat-friendly); matmuls run in bf16 with f32 accumulation when
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax
@@ -255,14 +256,24 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
     return _ln(mp["ln"], out + attn_out, eps)
 
 
+def _scan_unroll() -> int:
+    """Layer-scan unroll factor (env LDOT_SCAN_UNROLL, default 1)."""
+    import os
+
+    return int(os.environ.get("LDOT_SCAN_UNROLL", "1"))
+
+
 def encoder_stack(layers: Params, cfg: EncoderConfig, hidden, mask_bias, *,
                   deterministic=True, rng=None, dtype=jnp.float32,
-                  remat: bool = False):
+                  remat: bool = False, unroll: int | None = None):
     """Run the stacked BertLayers with lax.scan (uniter model.py:276-293)."""
     n = cfg.num_hidden_layers
     has_rng = rng is not None
-    layer_rngs = (jax.random.split(rng, n) if has_rng
-                  else jnp.zeros((n, 2), jnp.uint32))
+    if has_rng:
+        layer_rngs = jax.random.split(rng, n)
+    else:
+        # dtype-matching dummy so scan xs stay consistent across key impls
+        layer_rngs = jnp.zeros((n, 2), jnp.uint32)
 
     def layer_fn(h, lp, lrng):
         return _bert_layer(lp, cfg, h, mask_bias,
@@ -276,7 +287,9 @@ def encoder_stack(layers: Params, cfg: EncoderConfig, hidden, mask_bias, *,
         lp, lrng = xs
         return layer_fn(h, lp, lrng), None
 
-    hidden, _ = lax.scan(body, hidden, (layers, layer_rngs))
+    hidden, _ = lax.scan(body, hidden, (layers, layer_rngs),
+                         unroll=unroll if unroll is not None
+                         else _scan_unroll())
     return hidden
 
 
@@ -360,6 +373,34 @@ def encode_image(params: Params, cfg: EncoderConfig, cls_input_ids,
     if project and "proj" in params:
         pooled = projection_head(params["proj"], cfg, pooled, dtype)
     return seq, pooled
+
+
+def encode_image_only(params: Params, cfg: EncoderConfig, attention_mask,
+                      img_feat, img_pos_feat, *, img_masks=None,
+                      deterministic=True, rng=None, dtype=jnp.float32,
+                      remat=False, n_layers=None):
+    """Pure region-sequence forward (no [CLS] text token).
+
+    Parity: UniterModel.forward with input_ids=None — the image stream of
+    UniterForImageTextRetrievalFast (uniter_model/model/model.py:318-335,
+    itm.py:173-178). ``n_layers`` truncates the stacked layers (the Fast
+    variant's img_bert has ``num_hidden_layers_img`` layers).
+    """
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    img_type = params["embeddings"]["token_type"][1][None, None, :]
+    emb = img_embeddings(params["img_embeddings"], cfg, img_feat,
+                         img_pos_feat, img_type, img_masks,
+                         deterministic=deterministic, rng=rngs[0],
+                         dtype=dtype)
+    bias = attention_bias(attention_mask)
+    layers = params["layers"]
+    if n_layers is not None:
+        layers = jax.tree.map(lambda x: x[:n_layers], layers)
+        cfg = dataclasses.replace(cfg, num_hidden_layers=n_layers)
+    seq = encoder_stack(layers, cfg, emb, bias,
+                        deterministic=deterministic, rng=rngs[1], dtype=dtype,
+                        remat=remat)
+    return seq
 
 
 def encode_joint(params: Params, cfg: EncoderConfig, input_ids, position_ids,

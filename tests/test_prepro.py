@@ -87,3 +87,78 @@ def test_caption_meta(tmp_path_factory):
     meta = json.load(open(out))
     assert meta["flickr30k_000000000123.npz"] == ["a dog runs", "two dogs"]
     assert meta["flickr30k_000000000456.npz"] == ["a cat"]
+
+
+def test_txt_prepro_conceptual(vocab_file, tmp_path_factory):
+    """CC tsv rows: id \t url \t caption \t status (prepro.py:331-355)."""
+    tsv = "\n".join([
+        "0\thttp://x/a.jpg\ta dog runs\tsuccess",
+        "1\thttp://x/b.jpg\tbroken row caption\tfail",
+        "2\thttp://x/c.jpg\ta cat on the beach\tsuccess",
+    ])
+    ann_path = tmp_path_factory.mktemp("cc") / "cc.tsv"
+    ann_path.write_text(tsv)
+    out = str(tmp_path_factory.mktemp("ccdb") / "conceptual_train.db")
+
+    from lightningdot_tpu.cli.prepro import main
+    main(["txt", "--annotation", str(ann_path), "--output", out,
+          "--format", "conceptual", "--split", "train",
+          "--vocab", vocab_file])
+
+    db = TxtTokDb(out, max_txt_len=-1)
+    assert sorted(db.ids) == ["0", "2"]  # the 'fail' row is dropped
+    assert db["0"]["img_fname"] == "gcc_train_000000000000.npz"
+    assert db["2"]["img_fname"] == "gcc_train_000000000002.npz"
+    assert db["0"]["input_ids"] == [6, 7, 9]
+    assert db.txt2img["2"] == "gcc_train_000000000002.npz"
+
+
+def test_txt_prepro_conceptual_img_filter(vocab_file, tmp_path_factory, rng):
+    """--img_db filters CC texts to images whose features exist."""
+    from lightningdot_tpu.data.feat_db import write_feat_db
+
+    img_dir = str(tmp_path_factory.mktemp("ccimg") / "gcc_train")
+    rec = {"features": rng.standard_normal((6, 8)).astype(np.float32),
+           "norm_bb": rng.random((6, 7)).astype(np.float32),
+           "conf": np.linspace(1, 0.5, 6).astype(np.float32)}
+    write_feat_db(img_dir, {"gcc_train_000000000002.npz": rec},
+                  conf_th=0.2, max_bb=6, min_bb=2, num_bb=4)
+
+    tsv = "\n".join([
+        "0\thttp://x/a.jpg\ta dog runs\tsuccess",
+        "2\thttp://x/c.jpg\ta cat on the beach\tsuccess",
+    ])
+    ann_path = tmp_path_factory.mktemp("cc2") / "cc.tsv"
+    ann_path.write_text(tsv)
+    out = str(tmp_path_factory.mktemp("ccdb2") / "conceptual_train.db")
+
+    from lightningdot_tpu.cli.prepro import main
+    main(["txt", "--annotation", str(ann_path), "--output", out,
+          "--format", "conceptual", "--split", "train",
+          "--vocab", vocab_file, "--img_db", img_dir])
+
+    db = TxtTokDb(out, max_txt_len=-1)
+    assert db.ids == ["2"]  # id 0 has no downloaded features
+
+
+def test_txt_prepro_sbu(vocab_file, tmp_path_factory):
+    """SBU entries: {'iid','sent','file_path'} (prepro.py:358-381)."""
+    data = [
+        {"iid": "00042", "sent": "a dog runs", "file_path": "0001/1.jpg"},
+        {"iid": "bad7", "sent": "a cat on the beach",
+         "file_path": "0001/2.jpg"},
+        {"iid": "99", "sent": "two dogs play", "file_path": "0347/565.jpg"},
+    ]
+    ann_path = tmp_path_factory.mktemp("sbu") / "sbu.json"
+    ann_path.write_text(json.dumps(data))
+    out = str(tmp_path_factory.mktemp("sbudb") / "sbu.db")
+
+    from lightningdot_tpu.cli.prepro import main
+    main(["txt", "--annotation", str(ann_path), "--output", out,
+          "--format", "sbu", "--vocab", vocab_file])
+
+    db = TxtTokDb(out, max_txt_len=-1)
+    # corrupted 0347/565.jpg skipped; numeric iid canonicalized via int()
+    assert sorted(db.ids) == ["42", "bad7"]
+    assert db["42"]["img_fname"] == "sbu_42.npz"
+    assert db["bad7"]["img_fname"] == "sbu_bad7.npz"
