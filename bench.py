@@ -4,14 +4,20 @@ The reference's north star (BASELINE.json): real-time image-text retrieval —
 encode a text query with the BERT-base tower and retrieve top-100 from a
 123,287-image corpus (full MSCOCO scale). Target: <10 ms p50 on one chip.
 
+This drives the SHIPPED serving path: ``serving.Retriever`` builds one fused
+query program per (length-bucket, k) — tokenized ids -> text tower -> 768-d
+vector -> MXU matmul vs corpus -> top-k (serving.py::_query_fn, parity
+dvl/utils.py:204-211). The benchmark body calls exactly that program, and a
+correctness self-check first asserts ``Retriever.retrieve_batch`` returns
+the same ranking as one program invocation.
+
 Methodology (this harness reaches the TPU through an async relay where
 ``block_until_ready`` does NOT actually wait — only a host value pull does):
-the whole pipeline (token ids -> text tower -> 768-d vec -> MXU matmul vs
-corpus -> top-k) runs as ONE jitted ``while_loop`` with a serial dependency
-between iterations (query i+1's tokens derive from query i's top-1 result),
-and latency is the slope between a 2-iteration and an (2+N)-iteration run,
-each closed by a real device->host pull. This cancels dispatch/RTT constants
-and makes pipelining impossible.
+the Retriever program runs inside ONE jitted ``while_loop`` with a serial
+dependency between iterations (query i+1's tokens derive from query i's
+top-1 result), and latency is the slope between a 2-iteration and an
+(2+N)-iteration run, each closed by a real device->host pull. This cancels
+dispatch/RTT constants and makes pipelining impossible.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,51 +35,79 @@ BASELINE_P50_MS = 10.0      # BASELINE.md target
 N_ITERS = 100
 
 
+class _FixedTokenizer:
+    """Deterministic stub: hashes words into the BERT-cased id range."""
+
+    def encode(self, text):
+        ids = [101] + [106 + (hash(w) % 28000) for w in text.split()][:30]
+        return ids + [102]
+
+
 def main():
     from lightningdot_tpu.config import EncoderConfig
     from lightningdot_tpu.models import encoder as enc
+    from lightningdot_tpu.models.bi_encoder import BiEncoder
+    from lightningdot_tpu.serving import Retriever
 
     rng = np.random.default_rng(0)
     cfg = EncoderConfig(vocab_size=28996, project_dim=0)
-    params = enc.init_encoder_tower(jax.random.PRNGKey(0), cfg,
-                                    with_img=False)
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    tower = enc.init_encoder_tower(jax.random.PRNGKey(0), cfg,
+                                   with_img=False)
+    tower = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), tower)
 
-    corpus = jnp.asarray(
-        rng.standard_normal((N_CORPUS + (-N_CORPUS) % 128, 768)),
-        dtype=jnp.bfloat16)
+    model = BiEncoder(cfg, cfg, compute_dtype=jnp.bfloat16)
+    retriever = Retriever(model, {"txt_model": tower, "img_model": {}},
+                          tokenizer=_FixedTokenizer(),
+                          query_buckets=(QUERY_LEN,))
+    corpus = rng.standard_normal((N_CORPUS, 768)).astype(np.float32)
+    retriever.set_corpus([f"coco_{i:012}.npz" for i in range(N_CORPUS)],
+                         corpus)
 
+    # the exact fused program the Retriever serves from
+    query_fn = retriever._query_fn(QUERY_LEN, TOP_K)
+    enc_params = retriever._enc_params()
+    scales = jnp.zeros((0,), jnp.float32)
     mask = jnp.ones((1, QUERY_LEN), jnp.int32)
-    pos = jnp.arange(QUERY_LEN, dtype=jnp.int32)[None, :]
 
-    def query(ids, corpus):
-        _, vec = enc.encode_text(params, cfg, ids, mask, pos,
-                                 dtype=jnp.bfloat16)
-        scores = jnp.dot(vec.astype(jnp.bfloat16), corpus.T,
-                         preferred_element_type=jnp.float32)
-        return jax.lax.top_k(scores[0], TOP_K)
+    # -- self-check: the public API path returns this program's ranking ----
+    probe = "a dog runs on the beach"
+    api_top = retriever.retrieve_query(probe, top=TOP_K)
+    toks = _FixedTokenizer().encode(probe)
+    ids_probe = np.zeros((1, QUERY_LEN), np.int32)
+    ids_probe[0, :len(toks)] = toks
+    mask_probe = np.zeros((1, QUERY_LEN), np.int32)
+    mask_probe[0, :len(toks)] = 1
+    _, idx = query_fn(enc_params, jnp.asarray(ids_probe),
+                      jnp.asarray(mask_probe), retriever._corpus,
+                      retriever._bias, scales)
+    got = [retriever._ids[i] for i in np.asarray(idx)[0][:5]]
+    want = [d for d, _ in api_top[:5]]
+    assert got == want, f"bench path diverged from Retriever API: " \
+                        f"{got} vs {want}"
 
     @jax.jit
-    def chained(ids, corpus, n):
+    def chained(ids, corpus, bias, n):
         def cond(c):
             return c[0] < n
 
         def body(c):
             i, ids, acc = c
-            top_s, top_i = query(ids, corpus)
-            ids = (ids + top_i[0].astype(jnp.int32)) % 28000 + 106
-            return i + 1, ids, acc + top_s[0]
+            top_s, top_i = query_fn(enc_params, ids, mask, corpus, bias,
+                                    scales)
+            ids = (ids + top_i[0, 0].astype(jnp.int32)) % 28000 + 106
+            return i + 1, ids, acc + top_s[0, 0]
 
         return jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), ids, jnp.float32(0)))
 
     ids0 = jnp.asarray(rng.integers(106, 28996, (1, QUERY_LEN)),
                        dtype=jnp.int32)
-    float(chained(ids0, corpus, jnp.int32(1))[2])  # compile + real sync
+    args = (ids0, retriever._corpus, retriever._bias)
+    float(chained(*args, jnp.int32(1))[2])  # compile + real sync
 
     def total(n):
         t0 = time.perf_counter()
-        out = chained(ids0, corpus, jnp.int32(n))
+        out = chained(*args, jnp.int32(n))
         float(out[2])  # genuine device->host sync
         return time.perf_counter() - t0
 

@@ -276,7 +276,8 @@ def main(cmds=None):
     pending_loss: Dict[str, Any] = {}
     log_every = min(100, max(args.valid_steps, 1))
     n_examples = defaultdict(int)
-    rng = jax.random.PRNGKey(args.seed)
+    from lightningdot_tpu.utils.runtime import dropout_key
+    rng = dropout_key(args.seed)  # rbg: free dropout masks
     start = time.time()
     micro_step = 0
     last_validated = -1
@@ -284,8 +285,15 @@ def main(cmds=None):
 
     LOGGER.info("start pre-training: %d steps, tasks=%s",
                 args.num_train_steps, list(train_loaders))
+    from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
+
     for name, batch in meta_loader:
         task = name.split("_")[0]
+        if micro_step % args.gradient_accumulation_steps == 0:
+            # all hosts must agree on the sampled task before entering the
+            # jitted step's collectives (reference asserts every step via
+            # all_gather_list, pretrain.py:392; no-op single-host)
+            assert_same_across_hosts((name, micro_step), "pretrain task")
         n_examples[name] += batch["n_valid"]
         model_batch = {k: v for k, v in batch.items()
                        if k not in ("n_valid", "sample_size")}

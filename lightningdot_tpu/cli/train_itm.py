@@ -174,7 +174,8 @@ def main(cmds=None):
     if mesh is not None:
         state = replicate(mesh, state)
 
-    rng = jax.random.PRNGKey(args.seed)
+    from lightningdot_tpu.utils.runtime import dropout_key
+    rng = dropout_key(args.seed)  # rbg: free dropout masks
     best_eval_metric = 0.0
     loss_meter = RunningMeter("loss")
     global_step = 0

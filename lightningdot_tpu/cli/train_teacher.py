@@ -245,7 +245,8 @@ def main(cmds=None):
     if mine is not None:
         mine(state)  # initial mining pass (train_itm.py:191-193)
 
-    rng = jax.random.PRNGKey(args.seed)
+    from lightningdot_tpu.utils.runtime import dropout_key
+    rng = dropout_key(args.seed)  # rbg: free dropout masks
     global_step = 0
     t0 = time.time()
     losses = []

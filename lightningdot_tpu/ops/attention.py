@@ -1,15 +1,20 @@
-"""Multi-head self-attention: fused Pallas TPU kernel + XLA reference.
+"""Multi-head self-attention: XLA einsum core + Pallas small-batch kernel.
 
 Math parity with the reference's naive QKV attention
 (uniter_model/model/layer.py:75-101): scores = q@k.T / sqrt(d) + additive
 mask bias (0 for keep, -10000 for masked, uniter_model/model/model.py:362-365),
 row softmax, optional dropout on the probabilities, probs@v.
 
-TPU design: sequences here are short (<=512: 60 text tokens / ~101 regions /
-512 joint), so instead of a streaming flash kernel the Pallas kernel computes
-the whole S x S score block per (batch, head) program entirely in VMEM —
-one MXU matmul, fused softmax, one MXU matmul — never materialising the
-attention matrix in HBM. f32 accumulation, bf16 in/out supported.
+TPU design: tensors stay in the projection-native [batch, seq, heads, dim]
+layout — the head split is a free reshape and the per-head contraction is
+expressed directly as einsums (``bqhd,bkhd->bhqk`` / ``bhqk,bkhd->bqhd``),
+so XLA folds the head transposes into the matmuls instead of materialising
+[B,H,S,S]-adjacent copies in HBM. Measured on v5e at the train shape
+[96,65,12,64]: 32 us eval / 216 us with prob-dropout, vs 482 us for a
+whole-block Pallas kernel and 247 us for the transpose-based layout
+(scripts/perf_micro2.py). The Pallas whole-block kernel is kept for tiny
+batches (serving batch~1), where the grid is small and everything lives in
+VMEM. f32 accumulation everywhere; bf16 in/out supported.
 
 The backward pass recomputes attention in jnp (XLA-fused), so the op is
 differentiable on every backend; training with dropout uses the XLA path.
@@ -23,6 +28,10 @@ import jax.numpy as jnp
 
 from lightningdot_tpu.ops.backend import backend
 
+# largest batch*heads grid still dispatched to the whole-block Pallas kernel
+# (beyond this the batched-einsum XLA form wins by a wide margin)
+_PALLAS_MAX_GRID = 128
+
 
 def _precision(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
@@ -30,14 +39,14 @@ def _precision(dtype):
 
 
 def _attention_math(q, k, v, bias, scale):
-    # q,k,v: [B, H, S, D]; bias: broadcastable to [B, H, S, S]
+    # q,k,v: [B, S, H, D]; bias: broadcastable to [B, H, S, S]
     prec = _precision(q.dtype)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)
 
@@ -60,10 +69,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, prec):
 
 
 def _attention_pallas(q, k, v, bias, scale):
+    """Whole-block kernel on the head-major [B,H,S,D] view.
+
+    The grid blocks one (batch, head) program per [S, D] tile, which needs a
+    head-major layout (a Mosaic block must tile the last two axes); the
+    transposes from the projection-native layout are negligible at the tiny
+    batches this kernel is gated to (<= _PALLAS_MAX_GRID programs).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch, heads, s, d = q.shape
+    batch, s, heads, d = q.shape
+    q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     bias_b = jnp.broadcast_to(bias, (batch, 1, 1, s)).reshape(batch, 1, s)
 
     grid = (batch, heads)
@@ -78,14 +95,15 @@ def _attention_pallas(q, k, v, bias, scale):
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, s, d), q.dtype),
     )(q, k, v, bias_b)
-    return out
+    return out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attention_nodrop(q, k, v, bias, scale):
-    if backend() == "pallas" and bias.shape[-2] == 1:
+    small_grid = q.shape[0] * q.shape[2] <= _PALLAS_MAX_GRID
+    if backend() == "pallas" and bias.shape[-2] == 1 and small_grid:
         return _attention_pallas(q, k, v, bias, scale)
     return _attention_math(q, k, v, bias, scale)
 
@@ -113,7 +131,7 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     """Fused scaled-dot-product attention.
 
     Args:
-      q, k, v: [batch, heads, seq, head_dim].
+      q, k, v: [batch, seq, heads, head_dim] (projection-native layout).
       bias: additive mask, broadcastable to [batch, heads, seq, seq]
         (0 keep / -10000 drop, reference model.py:362-365).
       dropout_rate: attention-prob dropout (layer.py:95); only applied when
@@ -123,15 +141,21 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     if deterministic or dropout_rate == 0.0:
         return _attention_nodrop(q, k, v, bias, scale)
 
-    # Training path with prob dropout: XLA (autodiff-native).
+    # Training path with prob dropout: XLA (autodiff-native). The softmax
+    # runs in f32 for stability; the [B,H,S,S] probs are cast to the compute
+    # dtype BEFORE the dropout mask so the mask/where traffic (the dominant
+    # cost of this path — perf_micro2.py: 216 us with dropout vs 32 us
+    # without) moves half as many bytes. Identical expectation; only bf16
+    # rounding of the kept probabilities differs from the reference.
     prec = _precision(q.dtype)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-    probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+    probs = (probs * keep.astype(probs.dtype)
+             * jnp.asarray(1.0 / (1.0 - dropout_rate), probs.dtype))
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)

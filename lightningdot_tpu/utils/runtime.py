@@ -27,3 +27,16 @@ def setup_runtime(args=None) -> None:
         from lightningdot_tpu.ops.backend import set_backend
 
         set_backend(getattr(args, "kernel_backend", "auto"))
+
+
+def dropout_key(seed: int):
+    """Training RNG key using the hardware ``rbg`` generator.
+
+    Dropout-mask generation with the default threefry keys costs ~12 ms per
+    ITM train step on v5e (13% — scripts/perf_train_ablate.py); the
+    counter-based rbg implementation makes it free. rbg splits/fold_ins are
+    not cryptographic, which is irrelevant for dropout.
+    """
+    import jax
+
+    return jax.random.key(seed, impl="rbg")

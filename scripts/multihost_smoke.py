@@ -39,6 +39,27 @@ def worker(rank: int) -> None:
         raise SystemExit("assert_same_across_hosts failed to detect skew")
     except RuntimeError:
         pass
+
+    # MetaLoader task sampling must agree across hosts given the same seed
+    # (cli/pretrain.py asserts this per accumulation window, reference
+    # pretrain.py:392) — run the real sampler on both ranks and cross-check
+    from lightningdot_tpu.data.loader import MetaLoader
+
+    def fake_loader(tag):
+        def gen():
+            i = 0
+            while True:
+                yield f"{tag}-{i}"
+                i += 1
+        return gen()
+
+    ml = MetaLoader({"mlm_coco": (fake_loader("a"), 2),
+                     "itm_vg": (fake_loader("b"), 1)},
+                    accum_steps=2, seed=7)
+    it = iter(ml)
+    tasks = [next(it)[0] for _ in range(12)]
+    assert_same_across_hosts(tasks, "MetaLoader task sequence")
+
     if is_main_process():
         print("MULTIHOST_SMOKE_OK", flush=True)
 

@@ -129,3 +129,131 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_layer_ablate(b, s, hdim=768, nh=12, *, attn_drop=True,
+                       hid_drop=True, use_gelu=True, tag=""):
+    d = hdim // nh
+    rng0 = np.random.default_rng(0)
+    W = {k: jnp.asarray(rng0.standard_normal((hdim, hdim)) * 0.02,
+                        jnp.float32) for k in "qkvo"}
+    Wi = jnp.asarray(rng0.standard_normal((hdim, 4 * hdim)) * 0.02,
+                     jnp.float32)
+    Wo = jnp.asarray(rng0.standard_normal((4 * hdim, hdim)) * 0.02,
+                     jnp.float32)
+    bias = jnp.zeros((b, 1, 1, s), jnp.float32)
+    rng = jax.random.key(0, impl="rbg")
+
+    def ln(x):
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(x - m), axis=-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-12)
+
+    def drop(x, on):
+        if not on:
+            return x
+        keep = jax.random.bernoulli(rng, 0.9, x.shape)
+        return jnp.where(keep, x / jnp.asarray(0.9, x.dtype), 0)
+
+    def make():
+        x = jnp.asarray(np.random.randn(b, s, hdim) * 0.1, jnp.bfloat16)
+
+        def body(x):
+            def dense(x, w):
+                return jnp.dot(x, w.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+
+            q = dense(x, W["q"]).reshape(b, s, nh, d)
+            k = dense(x, W["k"]).reshape(b, s, nh, d)
+            v = dense(x, W["v"]).reshape(b, s, nh, d)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * 0.125
+            probs = jax.nn.softmax(scores + bias, axis=-1
+                                   ).astype(jnp.bfloat16)
+            probs = drop(probs, attn_drop)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16).reshape(b, s, hdim)
+            h1 = ln(drop(dense(ctx, W["o"]), hid_drop) + x)
+            inter = dense(h1, Wi)
+            if use_gelu:
+                inter = jax.nn.gelu(inter, approximate=False)
+            return ln(drop(dense(inter, Wo), hid_drop) + h1
+                      ).astype(jnp.bfloat16)
+
+        return x, body
+
+    dt = slope(make)
+    print(f"layer-ablate[{tag}] [{b},{s}]: {dt*1e6:.0f} us", flush=True)
+
+
+def ablate_main():
+    setup_runtime()
+    bench_layer_ablate(96, 65, tag="all-on")
+    bench_layer_ablate(96, 65, attn_drop=False, tag="no-attn-drop")
+    bench_layer_ablate(96, 65, hid_drop=False, tag="no-hid-drop")
+    bench_layer_ablate(96, 65, use_gelu=False, tag="no-gelu")
+    bench_layer_ablate(96, 65, attn_drop=False, hid_drop=False,
+                       use_gelu=False, tag="all-off")
+
+
+def bench_layer_bitsdrop(b, s, hdim=768, nh=12, bits_dtype="uint8", tag=""):
+    """Dropout via raw random bits + threshold-multiply (no bernoulli)."""
+    d = hdim // nh
+    rng0 = np.random.default_rng(0)
+    W = {k: jnp.asarray(rng0.standard_normal((hdim, hdim)) * 0.02,
+                        jnp.float32) for k in "qkvo"}
+    Wi = jnp.asarray(rng0.standard_normal((hdim, 4 * hdim)) * 0.02,
+                     jnp.float32)
+    Wo = jnp.asarray(rng0.standard_normal((4 * hdim, hdim)) * 0.02,
+                     jnp.float32)
+    bias = jnp.zeros((b, 1, 1, s), jnp.float32)
+    rng = jax.random.key(0, impl="rbg")
+    bd = jnp.dtype(bits_dtype)
+    thresh = bd.type(int(0.9 * (1 << (8 * bd.itemsize))) - 1)
+
+    def ln(x):
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(x - m), axis=-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-12)
+
+    def drop(x):
+        bits = jax.random.bits(rng, x.shape, bd)
+        keep = (bits <= thresh).astype(x.dtype)
+        return x * keep * jnp.asarray(1 / 0.9, x.dtype)
+
+    def make():
+        x = jnp.asarray(np.random.randn(b, s, hdim) * 0.1, jnp.bfloat16)
+
+        def body(x):
+            def dense(x, w):
+                return jnp.dot(x, w.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+
+            q = dense(x, W["q"]).reshape(b, s, nh, d)
+            k = dense(x, W["k"]).reshape(b, s, nh, d)
+            v = dense(x, W["v"]).reshape(b, s, nh, d)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * 0.125
+            probs = drop(jax.nn.softmax(scores + bias, axis=-1
+                                        ).astype(jnp.bfloat16))
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16).reshape(b, s, hdim)
+            h1 = ln(drop(dense(ctx, W["o"])) + x)
+            inter = jax.nn.gelu(dense(h1, Wi), approximate=False)
+            return ln(drop(dense(inter, Wo)) + h1).astype(jnp.bfloat16)
+
+        return x, body
+
+    dt = slope(make)
+    print(f"layer-bitsdrop[{bits_dtype}{tag}] [{b},{s}]: {dt*1e6:.0f} us",
+          flush=True)
+
+
+def bits_main():
+    setup_runtime()
+    bench_layer_bitsdrop(96, 65, bits_dtype="uint8")
+    bench_layer_bitsdrop(96, 65, bits_dtype="uint16")

@@ -50,27 +50,30 @@ def test_layer_norm_grad_matches_autodiff(rng):
 
 
 def test_attention_matches_torch(rng):
+    # ours takes the projection-native [B, S, heads, dim] layout
     b, h, s, d = 2, 4, 16, 8
-    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
-    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
-    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
     mask = (rng.random((b, s)) > 0.2).astype(np.float32)
     bias = (1.0 - mask)[:, None, None, :] * -10000.0
 
     ours = np.asarray(multi_head_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias)))
 
-    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    # torch golden in the conventional [B, heads, S, dim] layout
+    tq, tk, tv = (torch.from_numpy(x).permute(0, 2, 1, 3)
+                  for x in (q, k, v))
     scores = tq @ tk.transpose(-1, -2) / np.sqrt(d)
     scores = scores + torch.from_numpy(bias)
     probs = torch.softmax(scores, dim=-1)
-    theirs = (probs @ tv).numpy()
+    theirs = (probs @ tv).permute(0, 2, 1, 3).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
 def test_attention_grads_flow(rng):
     b, h, s, d = 1, 2, 8, 4
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
     bias = jnp.zeros((b, 1, 1, s), jnp.float32)
 
     def loss(q):
@@ -85,7 +88,7 @@ def test_attention_grads_flow(rng):
 
 def test_attention_dropout_training_path(rng):
     b, h, s, d = 1, 2, 8, 4
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
     bias = jnp.zeros((b, 1, 1, s), jnp.float32)
     out = multi_head_attention(q, q, q, bias, dropout_rate=0.5,
                                dropout_rng=jax.random.PRNGKey(0),
