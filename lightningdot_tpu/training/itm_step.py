@@ -183,9 +183,23 @@ def make_itm_train_step(model: BiEncoder, tx: optax.GradientTransformation,
             return loss, metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        from lightningdot_tpu.training.optim import (FusedAdamW,
+                                                     grad_norm_from_opt_state)
+
+        if isinstance(tx, FusedAdamW):
+            # single-pass clip+AdamW producing new params directly
+            params, opt_state = tx.apply(grads, state.opt_state,
+                                         state.params)
+            metrics["grad_norm"] = opt_state.grad_norm
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            # read the norm the clip stage already measured — a second
+            # optax.global_norm(grads) would re-read every gradient byte
+            gnorm = grad_norm_from_opt_state(opt_state)
+            metrics["grad_norm"] = (gnorm if gnorm is not None
+                                    else optax.global_norm(grads))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

@@ -80,6 +80,39 @@ def run_train(model, params, tag, rng, deterministic=False):
     return dt
 
 
+def run_train_production(model, params, rng, fused=False):
+    """The PRODUCTION configuration: donate=True with threaded state
+    (what the drivers actually run — donation removes a state copy)."""
+    import time
+
+    if fused:
+        from lightningdot_tpu.training.optim import make_fused_adamw
+        tx = make_fused_adamw(1e-5, max_grad_norm=2.0)
+    else:
+        tx = make_optimizer(1e-5, max_grad_norm=2.0)
+    batches = [_synthetic_batch(B, txt_len=TXT_LEN, n_regions=N_REGIONS,
+                                seed=i) for i in range(4)]
+    step = jit_train_step(make_itm_train_step(model, tx), donate=True)
+    state = create_train_state(params, tx)
+
+    state, m = step(state, batches[0], rng)
+    float(m["loss"])  # compile + real sync
+    t0 = time.perf_counter()
+    n = 0
+    acc = jnp.float32(0)
+    for _ in range(4):
+        for b in batches:
+            state, m = step(state, b, rng)
+            acc = acc + m["loss"].astype(jnp.float32)
+            n += 1
+    float(acc)
+    dt = (time.perf_counter() - t0) / n
+    tag = "fused-adamw" if fused else "optax"
+    print(f"train/production({tag}): {dt*1e3:.1f} ms/step -> "
+          f"{B/dt:.0f} pairs/s", flush=True)
+    return dt
+
+
 def run_encode(model, params_bf16, tag):
     batches = [_synthetic_batch(256, txt_len=32, n_regions=64, seed=i)
                for i in range(4)]
@@ -108,6 +141,12 @@ def main():
     if which in ("all", "rbg"):
         rbg = jax.random.key(0, impl="rbg")
         run_train(model, params, "rbg", rbg)
+    if which in ("all", "production"):
+        rbg = jax.random.key(0, impl="rbg")
+        run_train_production(model, params, rbg)
+    if which in ("all", "fused"):
+        rbg = jax.random.key(0, impl="rbg")
+        run_train_production(model, params, rbg, fused=True)
     if which in ("all", "nodrop"):
         run_train(model, params, "nodrop", key, deterministic=True)
     if which in ("all", "encode"):

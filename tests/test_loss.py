@@ -59,3 +59,45 @@ def test_dot_product_cosine(rng):
     tq, tc = torch.from_numpy(q), torch.from_numpy(c)
     ref = (tq @ tc.T / torch.ger(tq.norm(dim=-1), tc.norm(dim=-1))).numpy()
     np.testing.assert_allclose(r, ref, atol=1e-5)
+
+
+def test_fused_adamw_matches_optax():
+    """FusedAdamW (single-pass clip+AdamW) == optax chain, element-wise.
+
+    Constant lr avoids the schedule-index convention difference (optax
+    evaluates lr(0) on the first step; the fused optimizer uses lr(1),
+    matching the reference's post-increment get_lr_sched, train_itm.py:255).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from lightningdot_tpu.training.optim import (make_fused_adamw,
+                                                 make_optimizer)
+
+    rng = np.random.default_rng(0)
+    params = {
+        "dense": {"kernel": jnp.asarray(rng.standard_normal((8, 16)),
+                                        jnp.float32),
+                  "bias": jnp.zeros((16,), jnp.float32)},
+        "ln": {"scale": jnp.ones((16,), jnp.float32),
+               "bias": jnp.zeros((16,), jnp.float32)},
+    }
+    kw = dict(weight_decay=0.01, betas=(0.9, 0.98), max_grad_norm=0.5)
+    tx = make_optimizer(1e-3, **kw)
+    fused = make_fused_adamw(1e-3, **kw)
+
+    p_ref, s_ref = params, tx.init(params)
+    p_f, s_f = params, fused.init(params)
+    for step in range(5):
+        g = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.standard_normal(x.shape) * (10.0 if step == 0 else 0.1),
+                jnp.float32), params)  # step 0 exercises the clip branch
+        u, s_ref = tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p_f, s_f = fused.apply(g, s_f, p_f)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), p_ref, p_f)
+    assert float(s_f.grad_norm) > 0
