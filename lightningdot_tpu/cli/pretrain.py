@@ -51,6 +51,9 @@ def build_parser():
     p.add_argument("--output_dir", default=None)
     p.add_argument("--num_train_steps", type=int, default=None)
     p.add_argument("--valid_steps", type=int, default=None)
+    p.add_argument("--async_checkpoint", type=int, default=1,
+                   help="save step checkpoints on a background thread "
+                        "(device->host pull + npz write off the hot loop)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute_dtype", default="bf16",
                    choices=["bf16", "f32"])
@@ -269,7 +272,8 @@ def main(cmds=None):
                              accum_steps=args.gradient_accumulation_steps,
                              seed=args.seed)
     validate_fn = make_validate_fn(model)
-    saver = ModelSaver(os.path.join(args.output_dir, "ckpt"))
+    saver = ModelSaver(os.path.join(args.output_dir, "ckpt"),
+                       async_save=bool(getattr(args, "async_checkpoint", 0)))
 
     task2loss: Dict[str, RunningMeter] = {
         t: RunningMeter(f"loss/{t}") for t in train_loaders}
@@ -333,6 +337,7 @@ def main(cmds=None):
         saver.save(state.params, global_step, optimizer=state.opt_state)
         results = validate(model, state.params, val_loaders, validate_fn,
                            global_step)
+    saver.wait()  # drain the async writer before returning
     return results, state
 
 

@@ -147,6 +147,12 @@ def main():
     if which in ("all", "fused"):
         rbg = jax.random.key(0, impl="rbg")
         run_train_production(model, params, rbg, fused=True)
+    if which == "remat":
+        import dataclasses as dc
+
+        rbg = jax.random.key(0, impl="rbg")
+        model_r = dc.replace(model, remat=True)
+        run_train(model_r, params, "remat", rbg)
     if which in ("all", "nodrop"):
         run_train(model, params, "nodrop", key, deterministic=True)
     if which in ("all", "encode"):

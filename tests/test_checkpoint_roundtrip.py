@@ -61,3 +61,36 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert compare_models(jax.tree.map(np.asarray, params),
                           jax.tree.map(np.asarray, loaded),
                           verbose=False) == 0
+
+
+def test_async_model_saver_snapshots_before_mutation(tmp_path):
+    """Async save must capture values AT save time: the on-device snapshot
+    protects against the train loop donating/overwriting the buffers while
+    the background thread is still pulling them to the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightningdot_tpu.training.checkpoints import (ModelSaver,
+                                                       latest_step_checkpoint,
+                                                       load_checkpoint)
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32),
+              "b": jnp.zeros((4,), jnp.float32)}
+    saver = ModelSaver(str(tmp_path), async_save=True)
+    saver.save(params, step=3)
+    # immediately clobber the "live" params (simulates donation reuse)
+    params["w"] = params["w"] * 0 - 1.0
+    saver.wait()
+
+    found = latest_step_checkpoint(str(tmp_path))
+    assert found is not None and found[1] == 3
+    loaded, _, meta = load_checkpoint(
+        found[0], model_template={"w": jnp.zeros(8), "b": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(loaded["w"]),
+                                  np.arange(8, dtype=np.float32))
+    assert meta["step"] == 3
+
+    # a second async save supersedes and both files exist
+    saver.save({"w": jnp.ones(8), "b": jnp.ones(4)}, step=7)
+    saver.wait()
+    assert latest_step_checkpoint(str(tmp_path))[1] == 7
