@@ -71,9 +71,20 @@ def quantize_text_tower(tower, cfg) -> Dict[str, Any]:
 
 
 def _dense_int8(p, x):
-    y = jnp.dot(x.astype(jnp.bfloat16), p["q"].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    return (y * p["scale"][None, :] + p["bias"]).astype(jnp.bfloat16)
+    """int8 weight x dynamically-int8-quantized activation dense.
+
+    Runs on the MXU's true 8-bit path with int32 accumulation (per-row
+    activation scale x per-output-channel weight scale in the epilogue).
+    Upcasting the int8 weights to bf16 before the dot instead (the previous
+    form) makes XLA materialize a bf16 weight copy — MORE HBM traffic than
+    plain bf16 weights at batch 1.
+    """
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.abs(xf).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jnp.dot(xq, p["q"], preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs * p["scale"][None, :]
+            + p["bias"]).astype(jnp.bfloat16)
 
 
 def encode_text_int8(qt, cfg, input_ids, attention_mask, position_ids):

@@ -153,6 +153,15 @@ def main():
         rbg = jax.random.key(0, impl="rbg")
         model_r = dc.replace(model, remat=True)
         run_train(model_r, params, "remat", rbg)
+    if which == "noattndrop":
+        import dataclasses as dc
+
+        rbg = jax.random.key(0, impl="rbg")
+        model_n = BiEncoder(
+            dc.replace(txt_cfg, attention_probs_dropout_prob=0.0),
+            dc.replace(img_cfg, attention_probs_dropout_prob=0.0),
+            compute_dtype=jnp.bfloat16)
+        run_train(model_n, params, "no-attn-drop", rbg)
     if which in ("all", "nodrop"):
         run_train(model, params, "nodrop", key, deterministic=True)
     if which in ("all", "encode"):
