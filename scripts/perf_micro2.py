@@ -257,3 +257,112 @@ def bits_main():
     setup_runtime()
     bench_layer_bitsdrop(96, 65, bits_dtype="uint8")
     bench_layer_bitsdrop(96, 65, bits_dtype="uint16")
+
+
+def bench_mlp_chain_honest(b_rows=6240, hdim=768, n_layers=12):
+    """12-layer MLP with weights passed as JIT ARGUMENTS (honest: nothing
+    can be constant-folded/prepacked at trace time)."""
+    rng0 = np.random.default_rng(0)
+    Wi = jnp.asarray(rng0.standard_normal((n_layers, hdim, 4 * hdim)) * 0.02,
+                     jnp.float32)
+    Wo = jnp.asarray(rng0.standard_normal((n_layers, 4 * hdim, hdim)) * 0.02,
+                     jnp.float32)
+
+    @jax.jit
+    def chained(x, Wi, Wo, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, x = c
+            for j in range(n_layers):
+                h = jnp.dot(x, Wi[j].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                x = jnp.dot(h, Wo[j].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            return i + 1, x
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), x))
+
+    import time
+
+    x0 = jnp.asarray(np.random.randn(b_rows, hdim) * 0.1, jnp.bfloat16)
+
+    def pull(out):
+        return float(jnp.sum(out[1].astype(jnp.float32)))
+
+    pull(chained(x0, Wi, Wo, jnp.int32(1)))
+
+    def total(n):
+        t0 = time.perf_counter()
+        pull(chained(x0, Wi, Wo, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    n_iters = 30
+    base = min(total(2) for _ in range(3))
+    long = min(total(2 + n_iters) for _ in range(3))
+    dt = (long - base) / n_iters
+    flops = 2 * b_rows * hdim * 4 * hdim * 2 * n_layers
+    print(f"mlp-chain-honest [{b_rows},{hdim}]x{n_layers}L: "
+          f"{dt*1e3:.2f} ms -> {flops/dt/1e12:.1f} TF/s", flush=True)
+
+
+def honest_main():
+    setup_runtime()
+    bench_mlp_chain_honest()
+
+
+def bench_layer_chain_honest(b=96, s=65, train=True):
+    """12 REAL _bert_layer passes with stacked weights + rng as jit args."""
+    import time
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.models import encoder as enc
+
+    cfg = EncoderConfig(vocab_size=28996)
+    layers = enc.init_layer_stack(jax.random.PRNGKey(0), cfg)
+    bias = jnp.zeros((b, 1, 1, s), jnp.float32)
+    key0 = jax.random.key(0, impl="rbg")
+
+    @jax.jit
+    def chained(x, layers, rng, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, x, rng = c
+            rng, sub = jax.random.split(rng)
+            x = enc.encoder_stack(layers, cfg, x, bias,
+                                  deterministic=not train,
+                                  rng=sub if train else None,
+                                  dtype=jnp.bfloat16)
+            return i + 1, x, rng
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), x, rng))
+
+    x0 = jnp.asarray(np.random.randn(b, s, 768) * 0.1, jnp.bfloat16)
+
+    def pull(out):
+        return float(jnp.sum(out[1].astype(jnp.float32)))
+
+    pull(chained(x0, layers, key0, jnp.int32(1)))
+
+    def total(n):
+        t0 = time.perf_counter()
+        pull(chained(x0, layers, key0, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    n_iters = 30
+    base = min(total(2) for _ in range(3))
+    long = min(total(2 + n_iters) for _ in range(3))
+    dt = (long - base) / n_iters
+    print(f"layer-chain-honest[train={train}] [{b},{s}] 12L: "
+          f"{dt*1e3:.2f} ms ({dt/12*1e6:.0f} us/layer)", flush=True)
+
+
+def honest_main2():
+    setup_runtime()
+    bench_layer_chain_honest(train=True)
+    bench_layer_chain_honest(train=False)

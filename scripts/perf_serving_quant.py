@@ -86,3 +86,53 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def batch_qps(batch=64):
+    """Batched-query throughput via the Retriever program."""
+    setup_runtime()
+    rng = np.random.default_rng(0)
+    cfg = EncoderConfig(vocab_size=28996, project_dim=0)
+    tower = enc.init_encoder_tower(jax.random.PRNGKey(0), cfg,
+                                   with_img=False)
+    tower = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), tower)
+    model = BiEncoder(cfg, cfg, compute_dtype=jnp.bfloat16)
+    r = Retriever(model, {"txt_model": tower, "img_model": {}}, Tok(),
+                  query_buckets=(QUERY_LEN,))
+    r.set_corpus([f"i{i}" for i in range(N_CORPUS)],
+                 rng.standard_normal((N_CORPUS, 768)).astype(np.float32))
+    query_fn = r._query_fn(QUERY_LEN, TOP_K)
+    enc_params = r._enc_params()
+    scales = jnp.zeros((0,), jnp.float32)
+    mask = jnp.ones((batch, QUERY_LEN), jnp.int32)
+
+    @jax.jit
+    def chained(ids, corpus, bias, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, ids, acc = c
+            s, _ = query_fn(enc_params, ids, mask, corpus, bias, scales)
+            ids = (ids + s[:, :1].astype(jnp.int32)) % 28000 + 106
+            return i + 1, ids, acc + s[0, 0]
+
+        return jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), ids, jnp.float32(0)))
+
+    ids0 = jnp.asarray(rng.integers(106, 28996, (batch, QUERY_LEN)),
+                       jnp.int32)
+    args = (ids0, r._corpus, r._bias)
+    float(chained(*args, jnp.int32(1))[2])
+
+    def total(n):
+        t0 = time.perf_counter()
+        float(chained(*args, jnp.int32(n))[2])
+        return time.perf_counter() - t0
+
+    n_iters = 60
+    base = min(total(2) for _ in range(3))
+    long = min(total(2 + n_iters) for _ in range(3))
+    dt = (long - base) / n_iters
+    print(f"batch-{batch} query: {dt*1e3:.2f} ms/call -> "
+          f"{batch/dt:.0f} QPS/chip", flush=True)
