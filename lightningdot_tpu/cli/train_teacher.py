@@ -105,6 +105,32 @@ def main(cmds=None):
         model = CrossEncoderFast(cfg, margin=args.margin, compute_dtype=dtype)
         params = jax.tree.map(jnp.asarray,
                               model.init(jax.random.PRNGKey(args.seed)))
+        if args.checkpoint:
+            # warm-start from a UNITER/teacher .pt: the text stream loads
+            # from 'bert.*'; 'img_bert.*' loads when present (a plain
+            # UNITER checkpoint leaves the image stream randomly
+            # initialized, like Fast.from_pretrained's missing-key
+            # tolerance, itm.py:145-151 + train_itm.py:165-167)
+            from lightningdot_tpu.models import checkpoint_torch as ct
+
+            sd = ct.normalize_keys(ct.load_torch_state_dict(args.checkpoint))
+            params["bert"] = jax.tree.map(jnp.asarray, ct.map_tower(
+                sd, with_img=True, num_layers=cfg.num_hidden_layers))
+            if any(k.startswith("img_bert.") for k in sd):
+                img_sd = {f"bert.{k}": v
+                          for k, v in ct.split_prefix(sd,
+                                                      "img_bert").items()}
+                params["img_bert"] = jax.tree.map(jnp.asarray, ct.map_tower(
+                    img_sd, with_img=True,
+                    num_layers=cfg.num_hidden_layers_img))
+            else:
+                LOGGER.info("fast teacher: %s has no img_bert stream; "
+                            "image stream stays randomly initialized",
+                            args.checkpoint)
+            if "itm_output.weight" in sd:
+                params["itm_output"] = jax.tree.map(
+                    jnp.asarray, ct._lin(sd, "itm_output"))
+                params = model.init_output(params)
     elif args.checkpoint:
         from lightningdot_tpu.models.factory import load_cross_encoder
         model, params = load_cross_encoder(
@@ -199,12 +225,13 @@ def main(cmds=None):
                                            seed=args.seed)
             sample_size = 1 + 2 * (args.neg_sample_size + args.hard_neg_size)
 
+            # built once: re-mining passes reuse the compiled score program
+            make_fn = (make_fast_score_fn if args.model_variant == "fast"
+                       else make_joint_score_fn)
+            score_fn = make_fn(model)
+
             def mine(state):
-                make_fn = (make_fast_score_fn
-                           if args.model_variant == "fast"
-                           else make_joint_score_fn)
-                score_fn = make_fn(model, state.params)
-                compute_hard_neg(score_fn,
+                compute_hard_neg(lambda b: score_fn(state.params, b),
                                  (hn_dataset[i]
                                   for i in range(len(hn_dataset))),
                                  dataset, args.hard_neg_pool_size,

@@ -96,6 +96,14 @@ class ItmRankDatasetHardNeg(ItmRankDataset):
         with open(os.path.join(hard_neg_dir, "img2hardtxts.json")) as f:
             self.img2hardtxts = json.load(f)
 
+    def _sample_hard(self, pool, fallback_population, exclude):
+        pool = list(pool)
+        if len(pool) >= self.hard_neg_size:
+            return self.rng.sample(pool, self.hard_neg_size)
+        top_up = _sample_negative(fallback_population, list(exclude) + pool,
+                                  self.hard_neg_size - len(pool), self.rng)
+        return pool + top_up
+
     def __getitem__(self, i: int) -> List[Dict[str, Any]]:
         gt_txt_id = self.ids[i]
         gt_img = self.txt2img[gt_txt_id]
@@ -103,10 +111,16 @@ class ItmRankDatasetHardNeg(ItmRankDataset):
         if self.hard_neg_size > 0:
             assert self.txt2hardimgs, \
                 "call reload_hard_negs() (or compute_hard_neg) first"
-            hard_imgs = self.rng.sample(self.txt2hardimgs[gt_txt_id],
-                                        self.hard_neg_size)
-            hard_txts = self.rng.sample(self.img2hardtxts[gt_img],
-                                        self.hard_neg_size)
+            # the miner can legitimately produce short (or missing) lists —
+            # an image may appear in fewer than hard_neg_size random pools
+            # (train_itm.py:346-351 'not enough negatives'). Keep the group
+            # width STATIC by topping up with random negatives.
+            hard_imgs = self._sample_hard(
+                self.txt2hardimgs.get(gt_txt_id, ()),
+                self.img_name_list, [gt_img])
+            hard_txts = self._sample_hard(
+                self.img2hardtxts.get(gt_img, ()),
+                self.ids, self.img2txts[gt_img])
             id_pairs += [(gt_txt_id, im) for im in hard_imgs]
             id_pairs += [(t, gt_img) for t in hard_txts]
         if self.neg_sample_size > 0:
@@ -130,14 +144,8 @@ class ItmRankDatasetHardNeg(ItmRankDataset):
         return inputs
 
 
-class ItmRankDatasetHardNegFromText:
-    """Candidate groups for in-batch self-mining, text shared.
-
-    Parity: ItmRankDatasetHardNegFromText (uniter_model/data/itm.py:340-385)
-    — item i is one group: text i against [gt image + ``neg_sample_size``
-    random images] (gt first). Consumed by CrossEncoderHardNeg with
-    ``sample_from='t'`` (text emitted once, [1, L], broadcast on device).
-    """
+class _RankGroupDataset:
+    """Shared id-map setup for the self-mining candidate-group datasets."""
 
     def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
                  neg_sample_size: int = 1, seed: int = 0,
@@ -153,6 +161,7 @@ class ItmRankDatasetHardNegFromText:
         for id_, img in self.txt2img.items():
             self.img2txts[img].append(id_)
         self.img_name_list = list(self.img2txts.keys())
+        self.txt_name_list = list(self.txt2img.keys())
         self.neg_sample_size = neg_sample_size
         self.rng = random.Random(seed)
         self.txt_buckets = txt_buckets
@@ -160,6 +169,16 @@ class ItmRankDatasetHardNegFromText:
 
     def __len__(self):
         return len(self.ids)
+
+
+class ItmRankDatasetHardNegFromText(_RankGroupDataset):
+    """Candidate groups for in-batch self-mining, text shared.
+
+    Parity: ItmRankDatasetHardNegFromText (uniter_model/data/itm.py:340-385)
+    — item i is one group: text i against [gt image + ``neg_sample_size``
+    random images] (gt first). Consumed by CrossEncoderHardNeg with
+    ``sample_from='t'`` (text emitted once, [1, L], broadcast on device).
+    """
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         gt_txt_id = self.ids[i]
@@ -191,7 +210,7 @@ class ItmRankDatasetHardNegFromText:
         }
 
 
-class ItmRankDatasetHardNegFromImage:
+class ItmRankDatasetHardNegFromImage(_RankGroupDataset):
     """Candidate groups for in-batch self-mining, image shared.
 
     Parity: ItmRankDatasetHardNegFromImage (uniter_model/data/itm.py:388-442)
@@ -199,28 +218,6 @@ class ItmRankDatasetHardNegFromImage:
     ``neg_sample_size`` random texts] (gt first). Consumed by
     CrossEncoderHardNeg with ``sample_from='i'``.
     """
-
-    def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
-                 neg_sample_size: int = 1, seed: int = 0,
-                 txt_buckets: Sequence[int] = const.TXT_LEN_BUCKETS,
-                 img_buckets: Sequence[int] = const.IMG_LEN_BUCKETS):
-        assert neg_sample_size > 0
-        self.txt_db = txt_db
-        self.img_db = img_db
-        _, self.ids = get_ids_and_lens(txt_db)
-        txt2img = txt_db.txt2img
-        self.txt2img = {i: txt2img[i] for i in self.ids}
-        self.img2txts = defaultdict(list)
-        for id_, img in self.txt2img.items():
-            self.img2txts[img].append(id_)
-        self.txt_name_list = list(self.txt2img.keys())
-        self.neg_sample_size = neg_sample_size
-        self.rng = random.Random(seed)
-        self.txt_buckets = txt_buckets
-        self.img_buckets = img_buckets
-
-    def __len__(self):
-        return len(self.ids)
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         gt_txt_id = self.ids[i]

@@ -236,11 +236,14 @@ class DenseShardedIndex(DenseFlatIndex):
             return s_top, i_top
 
         shard_map = getattr(jax, "shard_map", None)
-        if shard_map is None:  # jax < 0.6 fallback
-            from jax.experimental.shard_map import shard_map
-        fn = shard_map(shard_fn, mesh=mesh,
-                       in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS)),
-                       out_specs=(P(), P()), check_vma=False)
+        specs = dict(mesh=mesh, in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS)),
+                     out_specs=(P(), P()))
+        if shard_map is not None:
+            fn = shard_map(shard_fn, check_vma=False, **specs)
+        else:  # jax < 0.6: experimental API, check_rep kwarg
+            from jax.experimental.shard_map import shard_map as legacy
+
+            fn = legacy(shard_fn, check_rep=False, **specs)
         self._search_fn = jax.jit(fn)
         self._search_fn_k = k
         return self._search_fn

@@ -22,6 +22,15 @@ from lightningdot_tpu.models.ot import optimal_transport_dist
 Params = Dict[str, Any]
 
 
+def sigmoid_triplet_loss(rank_scores, sample_size: int, margin: float):
+    """Sigmoid-margin triplet loss over candidate groups (itm.py:43-51):
+    positive first per group, hinge on sigmoid scores."""
+    scores = jax.nn.sigmoid(rank_scores).reshape(-1, sample_size)
+    pos = scores[:, :1]
+    neg = scores[:, 1:]
+    return jnp.clip(margin + neg - pos, 0.0, None)
+
+
 @dataclasses.dataclass(frozen=True)
 class CrossEncoder:
     cfg: EncoderConfig
@@ -78,10 +87,7 @@ class CrossEncoder:
             return rank
         if sample_size is None:
             sample_size = batch["sample_size"]
-        scores = jax.nn.sigmoid(rank).reshape(-1, sample_size)
-        pos = scores[:, :1]
-        neg = scores[:, 1:]
-        return jnp.clip(self.margin + neg - pos, 0.0, None)
+        return sigmoid_triplet_loss(rank, sample_size, self.margin)
 
     def mine_and_apply(self, params: Params, batch, *, hard_size: int,
                        sample_from: str = "t", deterministic=False, rng=None):
@@ -277,7 +283,4 @@ class CrossEncoderFast:
             return rank
         if sample_size is None:
             sample_size = batch["sample_size"]
-        scores = jax.nn.sigmoid(rank).reshape(-1, sample_size)
-        pos = scores[:, :1]
-        neg = scores[:, 1:]
-        return jnp.clip(self.margin + neg - pos, 0.0, None)
+        return sigmoid_triplet_loss(rank, sample_size, self.margin)

@@ -35,14 +35,30 @@ def flatten_tree(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
-def unflatten_like(template, flat: Dict[str, np.ndarray]):
+def unflatten_like(template, flat: Dict[str, np.ndarray],
+                   strict: bool = True):
+    """Rebuild ``template``'s tree from flattened leaves.
+
+    ``strict=False`` keeps the template's value for leaves absent from the
+    checkpoint (used for OPTIMIZER state only: adding a diagnostic leaf —
+    e.g. ClipNormState.grad_norm — must not break resume of checkpoints
+    written before the leaf existed; model parameters always load strict).
+    """
+    import logging
+
     paths_and_leaves = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in paths_and_leaves[0]:
         key = SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
                        for p in path)
         if key not in flat:
-            raise KeyError(f"checkpoint missing parameter {key}")
+            if strict:
+                raise KeyError(f"checkpoint missing parameter {key}")
+            logging.getLogger(__name__).warning(
+                "optimizer checkpoint missing %s; keeping initial value",
+                key)
+            leaves.append(leaf)
+            continue
         leaves.append(flat[key])
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
@@ -79,7 +95,7 @@ def load_checkpoint(path: str, *, model_template, optimizer_template=None
         opt_flat = {k[len(op):]: data[k] for k in data.files
                     if k.startswith(op)}
         if opt_flat:
-            opt = unflatten_like(optimizer_template, opt_flat)
+            opt = unflatten_like(optimizer_template, opt_flat, strict=False)
     return model, opt, meta
 
 

@@ -27,16 +27,21 @@ import numpy as np
 from lightningdot_tpu.utils.logging import LOGGER
 
 
-def make_joint_score_fn(model, params) -> Callable:
-    """Eval-mode rank-score fn for the joint CrossEncoder over the
-    ItmHardNegDataset/ItmValDataset batch layout (split text/img masks)."""
+def make_joint_score_fn(model) -> Callable:
+    """Eval-mode rank-score fn(params, batch) for the joint CrossEncoder
+    over the ItmHardNegDataset/ItmValDataset batch layout (split masks).
+
+    The jitted closure is built ONCE per model — re-mining passes reuse the
+    compiled programs and only swap ``params`` (a fresh jax.jit per pass
+    would re-trace and pay the 30 s–2 min relay compile every time).
+    """
     import jax
 
     @jax.jit
     def score(params, batch):
         return model.rank_scores(params, batch, deterministic=True)[:, 0]
 
-    def fn(batch):
+    def fn(params, batch):
         mb = {
             "input_ids": batch["input_ids"],
             "position_ids": batch["position_ids"],
@@ -45,50 +50,66 @@ def make_joint_score_fn(model, params) -> Callable:
             "attn_masks": np.concatenate(
                 [batch["attn_masks_text"], batch["attn_masks_img"]], axis=1),
         }
-        return np.asarray(score(params, mb))
+        return score(params, mb)
 
     return fn
 
 
-def make_fast_score_fn(model, params) -> Callable:
-    """Eval-mode cosine-score fn for CrossEncoderFast (two-stream)."""
+def make_fast_score_fn(model) -> Callable:
+    """Eval-mode cosine-score fn(params, batch) for CrossEncoderFast."""
     import jax
 
     @jax.jit
     def score(params, batch):
         return model.rank_scores(params, batch, deterministic=True)
 
-    def fn(batch):
+    def fn(params, batch):
         mb = {k: batch[k] for k in
               ("input_ids", "position_ids", "img_feat", "img_pos_feat",
                "attn_masks_text", "attn_masks_img")}
-        return np.asarray(score(params, mb))
+        return score(params, mb)
 
     return fn
 
 
 def get_hard_negs(score_fn: Callable, loader,
-                  hard_negative_num: int = 20
+                  hard_negative_num: int = 20, *,
+                  pipeline_depth: int = 8
                   ) -> Tuple[Dict[str, List[str]], Dict[str, List[str]]]:
     """Mine (txt2hardimgs, img2hardtxts) (train_itm.py:306-365).
 
     ``loader`` yields ItmHardNegDataset batches (one text vs a random image
     pool, ``gt_txt_id``/``neg_img_ids`` attached); ``score_fn(batch)``
-    returns the [pool] candidate scores.
+    returns the [pool] candidate scores (device array or numpy).
+
+    Device->host pulls are pipelined ``pipeline_depth`` pools deep: the
+    relay's per-pull RTT (~hundreds of ms) overlaps the next pools'
+    dispatch instead of serializing N round-trips.
     """
+    from collections import deque
+
     LOGGER.info("start running hard negative extraction")
     st = time.time()
     txt2hardimgs: Dict[str, List[str]] = {}
     img_to_score_txts = defaultdict(list)
-    for batch in loader:
-        scores = np.asarray(score_fn(batch), np.float32)
-        txt = batch["gt_txt_id"]
-        imgs = batch["neg_img_ids"]
+    in_flight = deque()
+
+    def drain_one():
+        dev_scores, txt, imgs = in_flight.popleft()
+        scores = np.asarray(dev_scores, np.float32)
         k = min(hard_negative_num, len(imgs))
         hard_idx = np.argpartition(-scores, k - 1)[:k]
         txt2hardimgs[txt] = [imgs[int(i)] for i in hard_idx]
         for i, img in enumerate(imgs):
             img_to_score_txts[img].append((float(scores[i]), txt))
+
+    for batch in loader:
+        in_flight.append((score_fn(batch), batch["gt_txt_id"],
+                          batch["neg_img_ids"]))
+        if len(in_flight) >= pipeline_depth:
+            drain_one()
+    while in_flight:
+        drain_one()
 
     LOGGER.info("start computing hard texts from images...")
     n_less_neg = 0

@@ -76,10 +76,10 @@ def main():
         q, k, v = qkv[..., :768], qkv[..., 768:1536], qkv[..., 1536:]
 
         def sh(x):
-            return x.reshape(b, s, 12, 64).transpose(0, 2, 1, 3)
+            return x.reshape(b, s, 12, 64)  # [B,S,h,d] layout
 
         ctx = multi_head_attention(sh(q), sh(k), sh(v), bias4)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        ctx = ctx.reshape(b, s, hd)
         ap, mp = lp["attn"], lp["mlp"]
         a = enc._dense(ap["output"], ctx, jnp.bfloat16)
         a = layer_norm(a + h, ap["ln"]["scale"], ap["ln"]["bias"], 1e-12)

@@ -89,7 +89,8 @@ def bench_attention(b, h, s, d, train=True):
     bias = jnp.zeros((b, 1, 1, s), jnp.float32)
 
     def make():
-        q = jnp.asarray(np.random.randn(b, h, s, d) * 0.1, jnp.bfloat16)
+        # projection-native [B, S, h, d] layout (ops/attention.py)
+        q = jnp.asarray(np.random.randn(b, s, h, d) * 0.1, jnp.bfloat16)
 
         def body(q):
             out = multi_head_attention(

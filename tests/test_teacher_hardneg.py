@@ -329,3 +329,26 @@ def test_train_teacher_fast_variant(tmp_path_factory):
         "--warmup_steps", "2", "--valid_steps", "4",
         "--max_bb", "8", "--min_bb", "4", "--compute_dtype", "f32"])
     assert np.isfinite(results["final_loss"])
+
+
+def test_rank_dataset_hardneg_tolerates_short_mined_lists(synth_dbs,
+                                                          tmp_path):
+    """The miner legitimately emits short/missing lists (an image may land
+    in fewer than hard_neg_size pools); groups must keep their static width
+    by topping up with random negatives instead of crashing."""
+    txt_db, img_db = synth_dbs
+    ds = ItmRankDatasetHardNeg(txt_db, img_db, neg_sample_size=1,
+                               hard_neg_size=3, seed=0)
+    # short list for text 0's gt, missing entries for everything else
+    t0 = ds.ids[0]
+    gt_img = ds.txt2img[t0]
+    t2i = {t0: [im for im in ds.img_name_list if im != gt_img][:1]}
+    i2t = {}
+    with open(tmp_path / "txt2hardimgs_rank0.json", "w") as f:
+        json.dump(t2i, f)
+    with open(tmp_path / "img2hardtxts.json", "w") as f:
+        json.dump(i2t, f)
+    ds.reload_hard_negs(str(tmp_path))
+
+    group = ds[0]
+    assert len(group) == 1 + 2 * 3 + 2 * 1  # static width preserved
