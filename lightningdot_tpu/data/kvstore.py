@@ -87,8 +87,13 @@ class KVWriter:
     def close(self) -> None:
         index_offset = self._off + ((-self._off) % 8)
         self._tmp.write(b"\x00" * (index_offset - self._off))
+        # last-wins dedupe: duplicate puts must read back identically on the
+        # native (first-match scan) and python (dict overwrite) readers
+        latest: Dict[bytes, Tuple[int, int]] = {}
+        for k, off, ln in self._entries:
+            latest[k] = (off, ln)
         entries = sorted(
-            ((_fnv1a(k), k, off, ln) for k, off, ln in self._entries),
+            ((_fnv1a(k), k, off, ln) for k, (off, ln) in latest.items()),
             key=lambda e: (e[0], e[1]))
         key_blob = bytearray()
         packed = bytearray()
@@ -102,11 +107,26 @@ class KVWriter:
         self._tmp.close()
         os.replace(self.path + ".tmp", self.path)
 
+    def abort(self) -> None:
+        """Discard the partial store (leaves any existing file untouched)."""
+        try:
+            self._tmp.close()
+        finally:
+            try:
+                os.remove(self.path + ".tmp")
+            except OSError:
+                pass
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        # finalizing a partially-written store on error would os.replace a
+        # truncated DB over a good one — abort instead
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
     @classmethod
     def write_dict(cls, path: str, items: Iterable[Tuple[Union[str, bytes],
@@ -146,8 +166,19 @@ class _PyReader:
         return self._keys
 
     def close(self):
-        self._mm.close()
+        # Values are zero-copy views into the mapping, so the mapping must
+        # outlive them: close() only blocks further reads; the mmap is torn
+        # down at GC (mmap.close() would raise BufferError while any view
+        # is exported — and the native backend would dangle).
+        self._index = {}
+        self._keys = []
         self._f.close()
+
+    def __del__(self):
+        try:
+            self._mm.close()
+        except Exception:
+            pass
 
 
 class _NativeReader:
@@ -159,6 +190,8 @@ class _NativeReader:
         self.n = lib.ldkv_count(self._h)
 
     def get(self, key: bytes) -> Optional[memoryview]:
+        if getattr(self, "_closed", False):
+            raise ValueError("reader is closed")
         val = ctypes.c_void_p()
         vlen = ctypes.c_uint64()
         ok = self._lib.ldkv_get(self._h, key, len(key),
@@ -179,9 +212,14 @@ class _NativeReader:
         return out
 
     def close(self):
-        if self._h:
-            self._lib.ldkv_close(self._h)
-            self._h = None
+        # see _PyReader.close: outstanding views point into the mapping, so
+        # the actual munmap is deferred to GC; close() blocks further reads
+        self._closed = True
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._lib.ldkv_close(h)
 
 
 class KVReader:
@@ -210,7 +248,11 @@ class KVReader:
         return v
 
     def keys(self) -> list:
-        return [k.decode("utf-8") for k in self._impl.keys()]
+        # surrogateescape keeps non-UTF-8 byte keys enumerable (put()
+        # accepts raw bytes); they round-trip via .encode("utf-8",
+        # "surrogateescape")
+        return [k.decode("utf-8", "surrogateescape")
+                for k in self._impl.keys()]
 
     def close(self) -> None:
         self._impl.close()

@@ -68,6 +68,8 @@ class DenseHNSWFlatIndexer:
 
     def index_data(self, data: Sequence[Tuple[Any, np.ndarray]]) -> None:
         """faiss_indexers.py:107-138: one-shot indexing with the phi norm."""
+        if not len(data):  # empty shard: no-op, like DenseFlatIndex
+            return
         if self.phi > 0:
             raise RuntimeError(
                 "DPR HNSWF index needs to index all data at once, "

@@ -10,6 +10,23 @@ NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _cache: Dict[str, Optional[ctypes.CDLL]] = {}
 
 
+def _build_locked() -> None:
+    """Run make under an exclusive file lock.
+
+    Multiple processes start concurrently (dataloader workers, multi-host
+    ranks); without the lock one process can dlopen a half-linked .so while
+    another is still writing it — and then cache the failure for its whole
+    lifetime.
+    """
+    import fcntl
+
+    NATIVE_DIR.mkdir(exist_ok=True)
+    with open(NATIVE_DIR / ".build.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=180)
+
+
 def load_native(name: str) -> Optional[ctypes.CDLL]:
     """Load native/build/lib<name>.so, building the native tree once if
     missing; None when unavailable (callers fall back to pure python)."""
@@ -18,8 +35,7 @@ def load_native(name: str) -> Optional[ctypes.CDLL]:
     so = NATIVE_DIR / "build" / f"lib{name}.so"
     if not so.exists():
         try:
-            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=180)
+            _build_locked()
         except Exception:
             _cache[name] = None
             return None

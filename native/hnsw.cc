@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <mutex>
 #include <cstdio>
 #include <cstring>
 #include <queue>
@@ -61,6 +62,10 @@ class HNSW {
   std::vector<std::vector<int32_t>> links0_;
   std::vector<uint32_t> visited_;
   uint32_t visit_tag_ = 0;
+  // guards the shared visited_/visit_tag_ scratch (and the graph during
+  // adds): ctypes releases the GIL, so Python threads can call search/add
+  // concurrently on one index
+  std::mutex mu_;
 
   int size() const { return static_cast<int>(levels_.size()); }
 
@@ -225,6 +230,7 @@ void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
 
 void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
   HNSW* idx = static_cast<HNSW*>(h);
+  std::lock_guard<std::mutex> lock(idx->mu_);
   for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim_);
 }
 
@@ -232,7 +238,9 @@ int64_t hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
 
 int hnsw_search(void* h, const float* q, int k, int ef, int32_t* out_ids,
                 float* out_dists) {
-  return static_cast<HNSW*>(h)->search(q, k, ef, out_ids, out_dists);
+  HNSW* x = static_cast<HNSW*>(h);
+  std::lock_guard<std::mutex> lock(x->mu_);
+  return x->search(q, k, ef, out_ids, out_dists);
 }
 
 // Serialization: flat binary dump.
@@ -240,26 +248,30 @@ int hnsw_save(void* h, const char* path) {
   HNSW* x = static_cast<HNSW*>(h);
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
+  bool ok = true;  // every fwrite checked: a full disk must NOT return 0
+  auto wr = [&](const void* p, size_t sz, size_t cnt) {
+    if (cnt && fwrite(p, sz, cnt, f) != cnt) ok = false;
+  };
   const int64_t n = x->size();
   int64_t header[6] = {n, x->dim_, x->M_, x->efc_, x->entry_, x->max_level_};
-  fwrite(header, sizeof(header), 1, f);
-  fwrite(x->data_.data(), sizeof(float), n * x->dim_, f);
-  fwrite(x->levels_.data(), sizeof(int), n, f);
+  wr(header, sizeof(header), 1);
+  wr(x->data_.data(), sizeof(float), n * x->dim_);
+  wr(x->levels_.data(), sizeof(int), n);
   auto write_links = [&](const std::vector<std::vector<int32_t>>& layer) {
     for (int64_t i = 0; i < n; ++i) {
       const auto& v = i < (int64_t)layer.size() ? layer[i]
                                                 : std::vector<int32_t>{};
       int32_t sz = v.size();
-      fwrite(&sz, sizeof(sz), 1, f);
-      fwrite(v.data(), sizeof(int32_t), sz, f);
+      wr(&sz, sizeof(sz), 1);
+      wr(v.data(), sizeof(int32_t), sz);
     }
   };
   int32_t n_layers = x->upper_links_.size();
-  fwrite(&n_layers, sizeof(n_layers), 1, f);
+  wr(&n_layers, sizeof(n_layers), 1);
   write_links(x->links0_);
   for (auto& layer : x->upper_links_) write_links(layer);
-  fclose(f);
-  return 0;
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
 void* hnsw_load(const char* path) {
@@ -271,31 +283,45 @@ void* hnsw_load(const char* path) {
     return nullptr;
   }
   const int64_t n = header[0];
+  if (n < 0 || header[1] <= 0) {
+    fclose(f);
+    return nullptr;
+  }
   HNSW* x = new HNSW((int)header[1], (int)header[2], (int)header[3]);
   x->entry_ = (int)header[4];
   x->max_level_ = (int)header[5];
   x->data_.resize(n * x->dim_);
   x->levels_.resize(n);
-  size_t rd = fread(x->data_.data(), sizeof(float), n * x->dim_, f);
-  rd += fread(x->levels_.data(), sizeof(int), n, f);
-  (void)rd;
+  bool ok = true;  // a truncated file must fail, not load half an index
+  auto rd = [&](void* p, size_t sz, size_t cnt) {
+    if (cnt && fread(p, sz, cnt, f) != cnt) ok = false;
+  };
+  rd(x->data_.data(), sizeof(float), n * x->dim_);
+  rd(x->levels_.data(), sizeof(int), n);
   int32_t n_layers = 0;
-  rd = fread(&n_layers, sizeof(n_layers), 1, f);
+  rd(&n_layers, sizeof(n_layers), 1);
+  if (n_layers < 0) ok = false;
   auto read_links = [&](std::vector<std::vector<int32_t>>& layer) {
     layer.resize(n);
-    for (int64_t i = 0; i < n; ++i) {
+    for (int64_t i = 0; ok && i < n; ++i) {
       int32_t sz = 0;
-      if (fread(&sz, sizeof(sz), 1, f) != 1) return;
+      rd(&sz, sizeof(sz), 1);
+      if (!ok || sz < 0) { ok = false; return; }
       layer[i].resize(sz);
-      if (sz && fread(layer[i].data(), sizeof(int32_t), sz, f) != (size_t)sz)
-        return;
+      rd(layer[i].data(), sizeof(int32_t), sz);
     }
   };
   read_links(x->links0_);
-  x->upper_links_.resize(n_layers);
-  for (auto& layer : x->upper_links_) read_links(layer);
+  if (ok) {
+    x->upper_links_.resize(n_layers);
+    for (auto& layer : x->upper_links_) read_links(layer);
+  }
   x->visited_.resize(n, 0);
   fclose(f);
+  if (!ok) {
+    delete x;
+    return nullptr;
+  }
   return x;
 }
 

@@ -84,13 +84,22 @@ void* ldkv_open(const char* path) {
     ::close(fd);
     return nullptr;
   }
+  uint64_t n_records, index_off;
+  memcpy(&n_records, base + 8, 8);
+  memcpy(&index_off, base + 16, 8);
+  // reject truncated/corrupt files: the index and the key blob must lie
+  // inside the mapping, or the first lookup would read out of bounds
+  const uint64_t fsize = static_cast<uint64_t>(st.st_size);
+  if (index_off > fsize || n_records > (fsize - index_off) / sizeof(IndexEntry)) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   Handle* h = new Handle();
   h->fd = fd;
   h->base = base;
   h->size = st.st_size;
-  memcpy(&h->n, base + 8, 8);
-  uint64_t index_off;
-  memcpy(&index_off, base + 16, 8);
+  h->n = n_records;
   h->index = reinterpret_cast<const IndexEntry*>(base + index_off);
   h->key_blob = base + index_off + h->n * sizeof(IndexEntry);
   return h;
@@ -143,26 +152,6 @@ int ldkv_key_at(void* handle, uint64_t idx, const uint8_t** key,
   *key = h->key_blob + e.key_off;
   *key_len = e.key_len;
   return 1;
-}
-
-// Batched lookup: keys packed back to back with a lengths array.
-// out_ptrs/out_lens must hold n entries; misses get nullptr/0.
-void ldkv_get_many(void* handle, const uint8_t* keys_packed,
-                   const uint32_t* key_lens, uint64_t n_keys,
-                   const uint8_t** out_ptrs, uint64_t* out_lens) {
-  const uint8_t* cursor = keys_packed;
-  for (uint64_t i = 0; i < n_keys; ++i) {
-    const uint8_t* val = nullptr;
-    uint64_t val_len = 0;
-    ldkv_get(handle, cursor, key_lens[i], &val, &val_len);
-    out_ptrs[i] = val;
-    out_lens[i] = val_len;
-    cursor += key_lens[i];
-  }
-}
-
-uint64_t ldkv_hash(const uint8_t* data, uint64_t len) {
-  return fnv1a(data, len);
 }
 
 }  // extern "C"

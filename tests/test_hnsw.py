@@ -65,3 +65,29 @@ def test_hnsw_serialize_roundtrip(tmp_path, rng):
     assert before == after
     with pytest.raises(RuntimeError):
         index2.index_data([(0, vecs[0])])
+
+
+def test_hnsw_empty_index_data_noop():
+    from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
+
+    idx = DenseHNSWFlatIndexer(8)
+    idx.index_data([])  # must be a no-op like DenseFlatIndex
+    assert idx.index_id_to_db_id == []
+
+
+def test_hnsw_truncated_index_file_rejected(tmp_path, rng):
+    from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
+
+    idx = DenseHNSWFlatIndexer(8)
+    idx.index_data([(i, rng.standard_normal(8).astype(np.float32))
+                    for i in range(64)])
+    path = str(tmp_path / "idx")
+    idx.serialize(path)
+    import glob
+    import os
+    fname = [f for f in glob.glob(path + "*") if not f.endswith(".dpr")][0]
+    data = open(fname, "rb").read()
+    open(fname, "wb").write(data[:len(data) // 2])
+    fresh = DenseHNSWFlatIndexer(8)
+    with pytest.raises(Exception):
+        fresh.deserialize_from(path)

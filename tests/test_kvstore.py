@@ -1,4 +1,7 @@
 """ldkv store + DB layers."""
+import os
+import struct
+
 import numpy as np
 import pytest
 
@@ -178,3 +181,66 @@ def test_meta_loader_seeded_task_sequence():
     # mix ratio 1:2 shows up in the draw frequency over a longer run
     seq3 = [t for (t, _), _ in zip(iter(make()), range(300))]
     assert seq3.count("b") > seq3.count("a")
+
+
+def test_writer_exit_on_exception_preserves_existing_store(tmp_path):
+    """A raising with-body must NOT install a truncated store over a good
+    one (KVWriter.__exit__ aborts instead of finalizing)."""
+    path = str(tmp_path / "store.ldkv")
+    KVWriter.write_dict(path, [("a", b"good")])
+
+    with pytest.raises(RuntimeError):
+        with KVWriter(path) as w:
+            w.put("a", b"partial")
+            raise RuntimeError("boom")
+
+    r = KVReader(path)
+    assert bytes(r.get("a")) == b"good"
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_duplicate_keys_last_wins_on_both_backends(tmp_path):
+    """Native (sorted-scan) and python (dict) readers must agree: the last
+    put() for a key wins."""
+    path = str(tmp_path / "dup.ldkv")
+    with KVWriter(path) as w:
+        w.put("k", b"v1")
+        w.put("other", b"x")
+        w.put("k", b"v2")
+    for prefer_native in (True, False):
+        r = KVReader(path, prefer_native=prefer_native)
+        assert bytes(r.get("k")) == b"v2", f"native={r.native}"
+        assert len(r) == 2
+
+
+def test_views_survive_reader_close(tmp_path):
+    """Zero-copy views stay valid after close() (the mapping is torn down
+    at GC); close() only blocks further reads."""
+    path = str(tmp_path / "view.ldkv")
+    KVWriter.write_dict(path, [("a", b"payload")])
+    for prefer_native in (True, False):
+        r = KVReader(path, prefer_native=prefer_native)
+        v = r.get("a")
+        r.close()
+        assert bytes(v) == b"payload"  # no dangling pointer / BufferError
+
+
+def test_truncated_file_rejected(tmp_path):
+    """ldkv_open must fail cleanly on a truncated store, not hand out
+    out-of-bounds index pointers."""
+    path = str(tmp_path / "trunc.ldkv")
+    KVWriter.write_dict(path, [(f"k{i}", b"x" * 64) for i in range(32)])
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:len(data) // 2])  # keep magic, cut index
+    with pytest.raises((OSError, ValueError, struct.error)):
+        KVReader(path)
+
+
+def test_non_utf8_keys_enumerable(tmp_path):
+    path = str(tmp_path / "rawkeys.ldkv")
+    raw = b"\xff\xfebinary"
+    KVWriter.write_dict(path, [(raw, b"v")])
+    r = KVReader(path)
+    ks = r.keys()
+    assert len(ks) == 1
+    assert ks[0].encode("utf-8", "surrogateescape") == raw
