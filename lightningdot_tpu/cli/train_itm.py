@@ -17,6 +17,7 @@ import random
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from lightningdot_tpu.config import (add_itm_params, add_kd_params,
@@ -148,7 +149,18 @@ def main(cmds=None):
     warmup_steps = int(0.1 * total_updates)
     lr_schedule = schedule_linear(args.learning_rate, warmup_steps,
                                   total_updates)
-    tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
+    if (getattr(args, "optim_state_dtype", "float32") == "bfloat16"
+            and args.gradient_accumulation_steps == 1):
+        from lightningdot_tpu.training.optim import make_fused_adamw
+
+        tx = make_fused_adamw(lr_schedule, max_grad_norm=args.max_grad_norm,
+                              state_dtype=jnp.bfloat16)
+    else:
+        if getattr(args, "optim_state_dtype", "float32") == "bfloat16":
+            LOGGER.warning("optim_state_dtype=bfloat16 requires "
+                           "gradient_accumulation_steps=1 (optax.MultiSteps "
+                           "wraps a GradientTransformation); using float32")
+        tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
     if args.gradient_accumulation_steps > 1:
         # apply every k micro-batches (train_itm.py:245-252,287-289)
         import optax

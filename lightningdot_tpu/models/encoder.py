@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from lightningdot_tpu.config import EncoderConfig
-from lightningdot_tpu.ops import gelu, layer_norm, multi_head_attention
+from lightningdot_tpu.ops import (dropout_add_ln, ffn_gelu, gelu, layer_norm,
+                                  multi_head_attention)
 
 Params = Dict[str, Any]
 
@@ -174,6 +175,33 @@ def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
             + p["bias"]).astype(dtype)
 
 
+def _dense_heads(p: Params, x, nh, hd, dtype):
+    """Head-split projection [B,S,H] -> [B,S,nh,hd] as ONE einsum.
+
+    Identical math to ``_dense(...).reshape(b, s, nh, hd)`` (same contraction
+    over H, same f32 accumulation, bias added in f32) — but with the reshape
+    folded into the matmul. A separate reshape between the projection and
+    the attention einsums materialises as a physical layout copy on TPU
+    (hlo_stats: ~2.5 ms/step across q/k/v fwd+bwd at the ITM train shape).
+    """
+    w = p["kernel"].astype(dtype).reshape(-1, nh, hd)
+    y = jnp.einsum("bsh,hnd->bsnd", x.astype(dtype), w,
+                   preferred_element_type=jnp.float32,
+                   precision=matmul_precision(dtype))
+    return (y + p["bias"].reshape(nh, hd)).astype(dtype)
+
+
+def _dense_merge(p: Params, ctx, dtype):
+    """Head-merge projection [B,S,nh,hd] -> [B,S,H]; counterpart of
+    :func:`_dense_heads` for the attention output dense."""
+    nh, hd = ctx.shape[2], ctx.shape[3]
+    w = p["kernel"].astype(dtype).reshape(nh, hd, -1)
+    y = jnp.einsum("bsnd,ndh->bsh", ctx.astype(dtype), w,
+                   preferred_element_type=jnp.float32,
+                   precision=matmul_precision(dtype))
+    return (y + p["bias"]).astype(dtype)
+
+
 def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return layer_norm(x, p["scale"], p["bias"], eps)
 
@@ -242,25 +270,52 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
 
     ap = lp["attn"]
 
-    # projection-native [B,S,heads,dim] layout: head split is a free
-    # reshape; the attention einsums absorb the head transposes (no
-    # [B,H,S,D] HBM copies — see ops/attention.py perf note)
-    q = _dense(ap["query"], hidden, dtype).reshape(b, s, nh, hd)
-    k = _dense(ap["key"], hidden, dtype).reshape(b, s, nh, hd)
-    v = _dense(ap["value"], hidden, dtype).reshape(b, s, nh, hd)
+    # projection-native [B,S,heads,dim] layout; LDOT_HEADFOLD=1 folds the
+    # head split/merge INTO the projection einsums (standalone reshapes
+    # materialise as layout copies next to the attention einsums — but the
+    # folded einsum's own layouts measured WORSE end-to-end on v5e, so the
+    # plain reshape form is the default)
+    import os as _os
+
+    if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
+        q = _dense_heads(ap["query"], hidden, nh, hd, dtype)
+        k = _dense_heads(ap["key"], hidden, nh, hd, dtype)
+        v = _dense_heads(ap["value"], hidden, nh, hd, dtype)
+    else:
+        q = _dense(ap["query"], hidden, dtype).reshape(b, s, nh, hd)
+        k = _dense(ap["key"], hidden, dtype).reshape(b, s, nh, hd)
+        v = _dense(ap["value"], hidden, dtype).reshape(b, s, nh, hd)
     ctx = multi_head_attention(
         q, k, v, mask_bias,
         dropout_rate=cfg.attention_probs_dropout_prob,
         dropout_rng=rngs[0], deterministic=deterministic)
-    ctx = ctx.reshape(b, s, h)
 
-    attn_out = _dense(ap["output"], ctx, dtype)
-    attn_out = _dropout(rngs[1], cfg.hidden_dropout_prob, deterministic, attn_out)
-    attn_out = _ln(ap["ln"], attn_out + hidden, eps)
+    from lightningdot_tpu.ops.fused import fused_enabled
+
+    use_fused = not deterministic and fused_enabled()
+    if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
+        attn_out = _dense_merge(ap["output"], ctx, dtype)
+    else:
+        attn_out = _dense(ap["output"], ctx.reshape(b, s, h), dtype)
+    if use_fused:
+        # fused custom-VJP: no keep-mask / LN-input residuals stored
+        # (ops/fused.py); the eval path keeps the Pallas LN kernel
+        attn_out = dropout_add_ln(attn_out, hidden, ap["ln"]["scale"],
+                                  ap["ln"]["bias"], rngs[1],
+                                  rate=cfg.hidden_dropout_prob, eps=eps)
+    else:
+        attn_out = _dropout(rngs[1], cfg.hidden_dropout_prob, deterministic,
+                            attn_out)
+        attn_out = _ln(ap["ln"], attn_out + hidden, eps)
 
     mp = lp["mlp"]
-    inter = gelu(_dense(mp["intermediate"], attn_out, dtype))
-    out = _dense(mp["output"], inter, dtype)
+    # fused FFN: VMEM-resident GELU intermediate on TPU, identical math
+    # elsewhere (ops/ffn.py)
+    out = ffn_gelu(attn_out, mp["intermediate"], mp["output"], dtype)
+    if use_fused:
+        return dropout_add_ln(out, attn_out, mp["ln"]["scale"],
+                              mp["ln"]["bias"], rngs[2],
+                              rate=cfg.hidden_dropout_prob, eps=eps)
     out = _dropout(rngs[2], cfg.hidden_dropout_prob, deterministic, out)
     return _ln(mp["ln"], out + attn_out, eps)
 

@@ -14,3 +14,5 @@ from lightningdot_tpu.ops.backend import backend, set_backend  # noqa: F401
 from lightningdot_tpu.ops.activations import gelu  # noqa: F401
 from lightningdot_tpu.ops.layernorm import layer_norm  # noqa: F401
 from lightningdot_tpu.ops.attention import multi_head_attention  # noqa: F401
+from lightningdot_tpu.ops.fused import dropout_add_ln  # noqa: F401
+from lightningdot_tpu.ops.ffn import ffn_gelu  # noqa: F401

@@ -141,21 +141,19 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     if deterministic or dropout_rate == 0.0:
         return _attention_nodrop(q, k, v, bias, scale)
 
-    # Training path with prob dropout: XLA (autodiff-native). The softmax
-    # runs in f32 for stability; the [B,H,S,S] probs are cast to the compute
-    # dtype BEFORE the dropout mask so the mask/where traffic (the dominant
-    # cost of this path — perf_micro2.py: 216 us with dropout vs 32 us
-    # without) moves half as many bytes. Identical expectation; only bf16
-    # rounding of the kept probabilities differs from the reference.
-    prec = _precision(q.dtype)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32,
-                        precision=prec) * scale
-    scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-    probs = (probs * keep.astype(probs.dtype)
-             * jnp.asarray(1.0 / (1.0 - dropout_rate), probs.dtype))
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32, precision=prec)
-    return out.astype(v.dtype)
+    # Training path with prob dropout: fused custom-VJP (ops/fused.py) —
+    # the backward pass recomputes scores/softmax and regenerates the mask
+    # from the key, so no [B,H,S,S] probabilities or keep-mask are stored
+    # between forward and backward. The softmax runs in f32 for stability;
+    # the probs are cast to the compute dtype BEFORE the dropout mask so the
+    # mask traffic moves half as many bytes. Identical expectation; only
+    # bf16 rounding of the kept probabilities differs from the reference.
+    from lightningdot_tpu.ops import fused
+
+    if fused.fused_enabled():
+        return fused.attention_prob_dropout(q, k, v, bias, dropout_rng,
+                                            rate=dropout_rate, scale=scale,
+                                            prec=_precision(q.dtype))
+    keydata, impl = fused.key_data_of(dropout_rng)
+    return fused._attn_drop_math(q, k, v, bias, keydata, dropout_rate,
+                                 scale, impl, _precision(q.dtype))

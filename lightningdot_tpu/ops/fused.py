@@ -1,0 +1,214 @@
+"""Fused training-path compositions with residual-storage control.
+
+The default autodiff of ``dropout -> residual-add -> LayerNorm`` (two sites
+per BertLayer, uniter_model/model/layer.py:120-170) materialises a dropout
+keep-mask and the LayerNorm input for the backward pass — pure HBM traffic
+on TPU. These custom-VJP compositions save only tensors that are already
+live (the matmul output, the residual stream, the rng key) and the backward
+pass *regenerates* the mask from the key and *recomputes* the LayerNorm
+input; XLA then fuses each side into one kernel with no intermediate
+round-trips.
+
+Same treatment for attention-probability dropout (layer.py:95): the fused
+op saves (q, k, v, bias, key) and recomputes scores/softmax/mask in the
+backward pass — the recomputed score einsum is ~1 GFLOP/layer (microseconds
+on the MXU) versus megabytes of saved [B,H,S,S] probabilities + mask.
+
+Numerics are bit-identical to the unfused forms (same bernoulli call, same
+bf16 rounding points); tests/test_fused.py asserts exact forward equality
+and tight gradient agreement against the unfused compositions.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fused_enabled() -> bool:
+    """A/B switch for perf forensics: LDOT_FUSED=0 restores the unfused
+    (default-autodiff) training compositions."""
+    return os.environ.get("LDOT_FUSED", "1") != "0"
+
+
+def _float0(x):
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+def _key(keydata, impl):
+    return jax.random.wrap_key_data(keydata, impl=impl)
+
+
+def key_data_of(rng):
+    """(key_data, impl_name) for shipping a PRNG key through a custom_vjp.
+
+    Typed keys carry their impl; legacy raw uint32 keys use the configured
+    default impl (threefry2x32 unless overridden). Rebuilding with
+    ``wrap_key_data`` reproduces the exact same random stream.
+    """
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(rng), str(jax.random.key_impl(rng))
+    return rng, str(jax.config.jax_default_prng_impl)
+
+
+def _mask_stored() -> bool:
+    """Dropout-mask residual policy: 'store' (default) keeps the bool keep
+    mask for the backward pass (1 byte/elem); 'regen' regenerates it from
+    the key (the rng-bit-generator emits 4 byte/elem u32 bits which then
+    pay a layout copy next to the attention einsums). Measured on v5e at
+    the ITM train shape: store 62.1 ms/step vs regen 63.3 (device-loop
+    slope, scripts/perf_train_device_loop.py)."""
+    return os.environ.get("LDOT_DROPOUT_MASK", "store") != "regen"
+
+
+def _keep_mask(keydata, rate, shape, impl):
+    """Bit-identical to encoder._dropout's bernoulli call."""
+    return jax.random.bernoulli(_key(keydata, impl), 1.0 - rate, shape)
+
+
+def _apply_keep(x, keep, rate):
+    """Inverted dropout given the keep mask (scale rounded to x.dtype,
+    matching encoder._dropout)."""
+    return x * keep.astype(x.dtype) * jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+
+
+def _apply_mask(x, keydata, rate, impl):
+    return _apply_keep(x, _keep_mask(keydata, rate, x.shape, impl), rate)
+
+
+def _ln_f32(u, scale, bias, eps):
+    uf = u.astype(jnp.float32)
+    mean = jnp.mean(uf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(uf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return ((uf - mean) * inv * scale + bias).astype(u.dtype)
+
+
+def _dal_math(x, res, scale, bias, keydata, rate, eps, impl):
+    if rate > 0.0:
+        x = _apply_mask(x, keydata, rate, impl)
+    return _ln_f32(x + res, scale, bias, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _dal(x, res, scale, bias, keydata, rate, eps, impl):
+    return _dal_math(x, res, scale, bias, keydata, rate, eps, impl)
+
+
+def _dal_fwd(x, res, scale, bias, keydata, rate, eps, impl):
+    keep = (None if rate == 0.0 or not _mask_stored()
+            else _keep_mask(keydata, rate, x.shape, impl))
+    if keep is None:
+        out = _dal_math(x, res, scale, bias, keydata, rate, eps, impl)
+    else:
+        out = _ln_f32(_apply_keep(x, keep, rate) + res, scale, bias, eps)
+    return out, (x, res, scale, bias, keydata, keep)
+
+
+def _dal_bwd(rate, eps, impl, residuals, g):
+    x, res, scale, bias, keydata, keep = residuals
+    if keep is None:
+        def f(x_, res_, scale_, bias_):
+            return _dal_math(x_, res_, scale_, bias_, keydata, rate, eps,
+                             impl)
+    else:
+        def f(x_, res_, scale_, bias_):
+            return _ln_f32(_apply_keep(x_, keep, rate) + res_, scale_,
+                           bias_, eps)
+    _, vjp = jax.vjp(f, x, res, scale, bias)
+    dx, dres, dscale, dbias = vjp(g)
+    return dx, dres, dscale, dbias, _float0(keydata)
+
+
+_dal.defvjp(_dal_fwd, _dal_bwd)
+
+
+def dropout_add_ln(x, res, scale, bias, rng, *, rate: float,
+                   eps: float) -> jnp.ndarray:
+    """``LayerNorm(dropout(x) + res)`` storing no mask and no LN input.
+
+    Parity: BertSelfOutput / BertOutput (layer.py:110-122,147-157). ``rng``
+    may be None (or rate 0) for the mask-free fused add+LN.
+    """
+    if rng is None or rate == 0.0:
+        keydata, impl = jnp.zeros((2,), jnp.uint32), "threefry2x32"
+        rate = 0.0
+    else:
+        keydata, impl = key_data_of(rng)
+    return _dal(x, res, scale, bias, keydata, float(rate), float(eps), impl)
+
+
+# ---------------------------------------------------------------------------
+# Attention with probability dropout (training path)
+# ---------------------------------------------------------------------------
+
+def _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec):
+    """Bit-identical to the inline training branch it replaces
+    (ops/attention.py multi_head_attention): f32 softmax, probs cast to the
+    compute dtype BEFORE the mask so mask traffic moves bf16 bytes."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * scale
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = _apply_mask(probs, keydata, rate, impl)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attn_drop(q, k, v, bias, keydata, rate, scale, impl, prec):
+    return _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec)
+
+
+def _attn_core(q, k, v, bias, keep, rate, scale, prec):
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * scale
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = _apply_keep(probs, keep, rate)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.astype(v.dtype)
+
+
+def _attn_drop_fwd(q, k, v, bias, keydata, rate, scale, impl, prec):
+    mask_shape = (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
+    keep = (_keep_mask(keydata, rate, mask_shape, impl) if _mask_stored()
+            else None)
+    if keep is None:
+        out = _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl,
+                              prec)
+    else:
+        out = _attn_core(q, k, v, bias, keep, rate, scale, prec)
+    return out, (q, k, v, bias, keydata, keep)
+
+
+def _attn_drop_bwd(rate, scale, impl, prec, residuals, g):
+    q, k, v, bias, keydata, keep = residuals
+    if keep is None:
+        def f(q_, k_, v_):
+            return _attn_drop_math(q_, k_, v_, bias, keydata, rate, scale,
+                                   impl, prec)
+    else:
+        def f(q_, k_, v_):
+            return _attn_core(q_, k_, v_, bias, keep, rate, scale, prec)
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias), _float0(keydata)
+
+
+_attn_drop.defvjp(_attn_drop_fwd, _attn_drop_bwd)
+
+
+def attention_prob_dropout(q, k, v, bias, rng, *, rate: float, scale: float,
+                           prec) -> jnp.ndarray:
+    """Attention with prob dropout; bwd recomputes, saving only (q,k,v)."""
+    keydata, impl = key_data_of(rng)
+    return _attn_drop(q, k, v, bias, keydata, float(rate), float(scale),
+                      impl, prec)

@@ -116,11 +116,18 @@ class FusedAdamW(NamedTuple):
     weight_decay: float
     max_grad_norm: float
     mask_fn: Any  # params -> bool tree (True = apply weight decay), or None
+    state_dtype: Any = None  # None = param dtype; jnp.bfloat16 halves the
+    # m/v HBM sweep (update math stays f32); a measured-throughput OPTION,
+    # not the parity default — the reference's torch AdamW keeps f32 state
 
     def init(self, params) -> FusedAdamWState:
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return FusedAdamWState(jnp.zeros((), jnp.int32), zeros,
-                               jax.tree.map(jnp.zeros_like, params),
+        def z(p):
+            dt = self.state_dtype or p.dtype
+            return jnp.zeros(p.shape, dt)
+
+        return FusedAdamWState(jnp.zeros((), jnp.int32),
+                               jax.tree.map(z, params),
+                               jax.tree.map(z, params),
                                jnp.zeros((), jnp.float32))
 
     def apply(self, grads, state: FusedAdamWState, params):
@@ -137,13 +144,15 @@ class FusedAdamW(NamedTuple):
         c2 = 1.0 - self.b2 ** count.astype(jnp.float32)
 
         def leaf(g, m, v, p, decay):
+            sdt = m.dtype
             g = g * scale
-            m2 = self.b1 * m + (1.0 - self.b1) * g
-            v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
+            m2 = self.b1 * m.astype(jnp.float32) + (1.0 - self.b1) * g
+            v2 = (self.b2 * v.astype(jnp.float32)
+                  + (1.0 - self.b2) * jnp.square(g))
             upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + self.eps)
             if self.weight_decay:
                 upd = upd + jnp.where(decay, self.weight_decay, 0.0) * p
-            return p - lr * upd, m2, v2
+            return p - lr * upd, m2.astype(sdt), v2.astype(sdt)
 
         mask = (self.mask_fn(params) if self.mask_fn is not None
                 else jax.tree.map(lambda _: True, params))
@@ -160,10 +169,12 @@ class FusedAdamW(NamedTuple):
 def make_fused_adamw(learning_rate, *, adam_eps: float = 1e-8,
                      weight_decay: float = 0.0,
                      betas: Sequence[float] = (0.9, 0.999),
-                     max_grad_norm: float = 0.0) -> FusedAdamW:
+                     max_grad_norm: float = 0.0,
+                     state_dtype=None) -> FusedAdamW:
     return FusedAdamW(learning_rate, betas[0], betas[1], adam_eps,
                       weight_decay, max_grad_norm,
-                      decay_mask if weight_decay else None)
+                      decay_mask if weight_decay else None,
+                      state_dtype)
 
 
 # -- schedules ---------------------------------------------------------------

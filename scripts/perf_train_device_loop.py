@@ -1,0 +1,180 @@
+"""TRUE on-device ITM train-step time via a device-side step chain.
+
+The host-loop numbers in perf_train_ablate.py pay per-call dispatch through
+the axon relay on every step; production training on a real TPU host does
+not. This script runs K steps inside ONE jitted program (lax.scan over the
+step, state threaded through the carry — a strict serial dependency) and
+reports the slope between a short and a long chain, which cancels dispatch,
+transfer, and warmup constants (the bench.py method applied to training).
+
+Also measures a depth slope (6- vs 12-layer towers at fixed chain length)
+to split per-layer cost from fixed per-step cost (embeddings, loss,
+optimizer, RNG).
+
+Usage: python scripts/perf_train_device_loop.py [base|depth|all]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lightningdot_tpu.config import EncoderConfig
+from lightningdot_tpu.models.bi_encoder import BiEncoder
+from lightningdot_tpu.training.itm_step import (create_train_state,
+                                                make_itm_train_step)
+from lightningdot_tpu.training.optim import make_optimizer
+from lightningdot_tpu.utils.runtime import dropout_key, setup_runtime
+from __graft_entry__ import _synthetic_batch
+
+B, TXT_LEN, N_REGIONS = 96, 32, 64
+
+
+def make_tx():
+    """LDOT_OPT_STATE=bfloat16 measures the FusedAdamW bf16-state option."""
+    import os
+
+    if os.environ.get("LDOT_OPT_STATE") == "bfloat16":
+        from lightningdot_tpu.training.optim import make_fused_adamw
+
+        return make_fused_adamw(1e-5, max_grad_norm=2.0,
+                                state_dtype=jnp.bfloat16)
+    return make_optimizer(1e-5, max_grad_norm=2.0)
+
+
+def chained_steps(model, params, batch, n_steps):
+    """One jitted program running n_steps train steps back to back."""
+    tx = make_tx()
+    step = make_itm_train_step(model, tx)
+    state = create_train_state(params, tx)
+    mb = {"txts": batch["txts"], "imgs": batch["imgs"], "caps": batch["caps"]}
+    if "valid_mask" in batch:
+        mb["valid_mask"] = batch["valid_mask"]
+
+    def run(state, batch, rng):
+        def body(s, i):
+            s2, m = step(s, batch, jax.random.fold_in(rng, i))
+            return s2, m["loss"]
+        s, losses = lax.scan(body, state, jnp.arange(n_steps))
+        return losses[-1].astype(jnp.float32)
+
+    # no donation: timed() invokes the program twice with the same state
+    # (donated buffers cannot be reused). Donation only affects the program
+    # boundary (one state copy, cancelled by the short-vs-long slope); the
+    # scan carry is aliased in place by XLA either way, so the slope equals
+    # the donated production step time.
+    fn = jax.jit(run)
+    return fn, state, mb
+
+
+def timed(fn, state, mb, rng):
+    out = fn(state, mb, rng)
+    float(out)  # compile + sync (block_until_ready lies through the relay)
+    t0 = time.perf_counter()
+    out = fn(state, mb, rng)
+    f = float(out)
+    return time.perf_counter() - t0, f
+
+
+def measure(model, params, batch, tag, n_short=4, n_long=16):
+    rng = dropout_key(0)
+    fn_s, st_s, mb = chained_steps(model, params, batch, n_short)
+    print(f"{tag}: compiling/running short chain ({n_short})...", flush=True)
+    t_s, _ = timed(fn_s, st_s, mb, rng)
+    print(f"{tag}: short done ({t_s*1e3:.1f} ms); long chain ({n_long})...",
+          flush=True)
+    fn_l, st_l, mb = chained_steps(model, params, batch, n_long)
+    t_l, loss = timed(fn_l, st_l, mb, rng)
+    per_step = (t_l - t_s) / (n_long - n_short)
+    print(f"{tag}: short({n_short})={t_s*1e3:.1f} ms, "
+          f"long({n_long})={t_l*1e3:.1f} ms -> {per_step*1e3:.2f} ms/step "
+          f"({B/per_step:.0f} pairs/s)  [loss={loss:.4f}]", flush=True)
+    return per_step
+
+
+def build(n_layers=12):
+    txt_cfg = EncoderConfig(vocab_size=28996, num_hidden_layers=n_layers)
+    img_cfg = EncoderConfig(vocab_size=28996, img_dim=2048,
+                            num_hidden_layers=n_layers)
+    model = BiEncoder(txt_cfg, img_cfg, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def measure_encode(model, params, tag, bs=256, n_short=4, n_long=16):
+    """Offline image-tower encode (the hard-neg re-mine hot spot), device
+    chain: each iteration feeds the previous output's sum back into the
+    features so the chain is serially dependent."""
+    batch = _synthetic_batch(bs, txt_len=32, n_regions=N_REGIONS, seed=0)
+    params_bf16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    imgs = batch["imgs"]
+
+    def make(n):
+        def run(p, imgs):
+            def body(carry, _):
+                feats = dict(imgs, img_feat=imgs["img_feat"] + carry)
+                emb = model.encode_img(p, feats)
+                return jnp.sum(emb.astype(jnp.float32)) * 1e-9, None
+            carry, _ = lax.scan(body, jnp.float32(0), None, length=n)
+            return carry
+        return jax.jit(run)
+
+    fn_s, fn_l = make(n_short), make(n_long)
+    float(fn_s(params_bf16, imgs))
+    t0 = time.perf_counter(); float(fn_s(params_bf16, imgs))
+    t_s = time.perf_counter() - t0
+    float(fn_l(params_bf16, imgs))
+    t0 = time.perf_counter(); float(fn_l(params_bf16, imgs))
+    t_l = time.perf_counter() - t0
+    per = (t_l - t_s) / (n_long - n_short)
+    print(f"{tag}: {per*1e3:.2f} ms/batch -> {bs/per:.0f} imgs/s", flush=True)
+    return per
+
+
+def main():
+    setup_runtime()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    batch = _synthetic_batch(B, txt_len=TXT_LEN, n_regions=N_REGIONS, seed=0)
+
+    if which == "encode":
+        model, params = build(12)
+        measure_encode(model, params, "device-loop/encode-B256")
+        return
+
+    if which == "sweep":
+        # one process, several env configs (env is read at trace time)
+        import os
+
+        configs = [
+            ("fold0-store", {"LDOT_HEADFOLD": "0", "LDOT_DROPOUT_MASK": "store"}),
+            ("fold1-regen", {"LDOT_HEADFOLD": "1", "LDOT_DROPOUT_MASK": "regen"}),
+            ("fold0-regen-bf16opt", {"LDOT_HEADFOLD": "0",
+                                     "LDOT_DROPOUT_MASK": "regen",
+                                     "LDOT_OPT_STATE": "bfloat16"}),
+        ]
+        model, params = build(12)
+        for tag, env in configs:
+            for k, v in env.items():
+                os.environ[k] = v
+            measure(model, params, batch, f"device-loop/{tag}")
+            for k in env:
+                os.environ.pop(k, None)
+        return
+
+    if which in ("all", "base"):
+        model, params = build(12)
+        measure(model, params, batch, "device-loop/12L")
+    if which in ("all", "depth"):
+        model6, params6 = build(6)
+        dt6 = measure(model6, params6, batch, "device-loop/6L")
+        model, params = build(12)
+        dt12 = measure(model, params, batch, "device-loop/12L")
+        per_pair = (dt12 - dt6) / 6
+        fixed = dt12 - 12 * per_pair
+        print(f"depth slope: {per_pair*1e3:.2f} ms per (txt+img) layer pair; "
+              f"fixed per-step cost {fixed*1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Fused FFN (ops/ffn.py) vs the unfused dense->gelu->dense composition."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightningdot_tpu.ops import ffn_gelu
+from lightningdot_tpu.ops.activations import gelu
+from lightningdot_tpu.ops.ffn import _ffn_math, _ffn_pallas
+
+
+def _params(h=64, inter=256, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    intermediate = {"kernel": 0.05 * jax.random.normal(ks[0], (h, inter)),
+                    "bias": 0.01 * jax.random.normal(ks[1], (inter,))}
+    output = {"kernel": 0.05 * jax.random.normal(ks[2], (inter, h)),
+              "bias": 0.01 * jax.random.normal(ks[3], (h,))}
+    return intermediate, output
+
+
+def _unfused(x, intermediate, output, dtype):
+    """encoder._dense + gelu composition, pre-fusion."""
+    def dense(p, x):
+        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        return (jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=prec) + p["bias"]).astype(dtype)
+    return dense(output, gelu(dense(intermediate, x)))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ffn_forward_matches_unfused(dtype):
+    intermediate, output = _params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 64), dtype)
+    got = ffn_gelu(x, intermediate, output, dtype)
+    want = _unfused(x, intermediate, output, dtype)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ffn_grads_match_unfused():
+    intermediate, output = _params()
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (5, 64))
+
+    def lf(x, intermediate, output):
+        return jnp.sum(ffn_gelu(x, intermediate, output, jnp.float32) * w)
+
+    def lu(x, intermediate, output):
+        return jnp.sum(_unfused(x, intermediate, output, jnp.float32) * w)
+
+    g1 = jax.grad(lf, argnums=(0, 1, 2))(x, intermediate, output)
+    g2 = jax.grad(lu, argnums=(0, 1, 2))(x, intermediate, output)
+    flat1, _ = jax.tree.flatten(g1)
+    flat2, _ = jax.tree.flatten(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_erf_poly_accuracy():
+    """The in-kernel erf polynomial (A&S 7.1.26) is f32-accurate vs lax.erf."""
+    from lightningdot_tpu.ops.ffn import _erf_poly
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    got = _erf_poly(x)
+    want = jax.lax.erf(x)
+    # A&S 7.1.26 bound is 1.5e-7; f32 evaluation adds rounding on top
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("rows", [128, 130])  # 130: ragged last block
+def test_ffn_pallas_kernel_interpret(rows, monkeypatch):
+    """The Pallas kernel (interpret mode) matches the jnp math, including
+    the h1 residual output and non-divisible row counts."""
+    monkeypatch.setenv("LDOT_FFN_BLOCK", "64")
+    intermediate, output = _params()
+    x2d = jax.random.normal(jax.random.PRNGKey(4), (rows, 64), jnp.float32)
+    w1, b1 = intermediate["kernel"], intermediate["bias"]
+    w2, b2 = output["kernel"], output["bias"]
+    out, h1, inter = _ffn_pallas(x2d, w1, b1, w2, b2, with_h1=True,
+                                 with_inter=True, interpret=True)
+    want_out, want_h1 = _ffn_math(x2d, w1, b1, w2, b2)
+    # kernel gelu uses the A&S 7.1.26 erf polynomial (|err|<=1.5e-7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(want_h1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(inter), np.asarray(gelu(want_h1)),
+                               rtol=3e-5, atol=3e-6)
+    out2, h1_none, inter_none = _ffn_pallas(x2d, w1, b1, w2, b2,
+                                            with_h1=False, interpret=True)
+    assert h1_none is None and inter_none is None
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want_out),
+                               rtol=3e-5, atol=3e-6)

@@ -101,3 +101,33 @@ def test_fused_adamw_matches_optax():
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6), p_ref, p_f)
     assert float(s_f.grad_norm) > 0
+
+
+def test_fused_adamw_bf16_state_option():
+    """state_dtype=bf16 halves the m/v sweep; update math stays f32 —
+    params after several steps track the f32-state optimizer to bf16
+    resolution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightningdot_tpu.training.optim import make_fused_adamw
+
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)}
+    kw = dict(weight_decay=0.01, betas=(0.9, 0.98), max_grad_norm=0.5)
+    f32 = make_fused_adamw(1e-3, **kw)
+    b16 = make_fused_adamw(1e-3, state_dtype=jnp.bfloat16, **kw)
+    p1, s1 = params, f32.init(params)
+    p2, s2 = params, b16.init(params)
+    assert s2.mu["w"].dtype == jnp.bfloat16 and s2.nu["w"].dtype == jnp.bfloat16
+    for step in range(10):
+        g = {"w": jnp.asarray(rng.standard_normal((16, 32)) * 0.1,
+                              jnp.float32)}
+        p1, s1 = f32.apply(g, s1, p1)
+        p2, s2 = b16.apply(g, s2, p2)
+    # updates are O(lr)=1e-3/step; bf16 moment rounding perturbs each
+    # update by ~0.4% of its magnitude
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]),
+                               atol=2e-4)
+    assert s2.mu["w"].dtype == jnp.bfloat16

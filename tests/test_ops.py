@@ -95,3 +95,29 @@ def test_attention_dropout_training_path(rng):
                                deterministic=False)
     assert out.shape == q.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dense_heads_merge_match_reshape_form():
+    """_dense_heads/_dense_merge (head split/merge folded into the einsum)
+    compute exactly _dense(...).reshape and its merge counterpart."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightningdot_tpu.models.encoder import (_dense, _dense_heads,
+                                                 _dense_merge)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, s, h, nh, hd = 3, 5, 32, 4, 8
+    x = jax.random.normal(ks[0], (b, s, h), jnp.float32)
+    p = {"kernel": 0.1 * jax.random.normal(ks[1], (h, h)),
+         "bias": 0.01 * jax.random.normal(ks[2], (h,))}
+    got = _dense_heads(p, x, nh, hd, jnp.float32)
+    want = _dense(p, x, jnp.float32).reshape(b, s, nh, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    ctx = want
+    got2 = _dense_merge(p, ctx, jnp.float32)
+    want2 = _dense(p, ctx.reshape(b, s, h), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)
