@@ -277,23 +277,40 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
     # plain reshape form is the default)
     import os as _os
 
-    if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
-        q = _dense_heads(ap["query"], hidden, nh, hd, dtype)
-        k = _dense_heads(ap["key"], hidden, nh, hd, dtype)
-        v = _dense_heads(ap["value"], hidden, nh, hd, dtype)
+    from lightningdot_tpu.ops.attention_fused import (
+        attention_kernel_enabled, fused_attention_train)
+
+    attn_kernel = not deterministic and attention_kernel_enabled(b, nh)
+    if attn_kernel:
+        # fully fused Pallas attention on the RAW [B,S,H] projections:
+        # head split, scores, softmax, prob dropout (in-kernel PRNG) and
+        # probs@v never leave VMEM (ops/attention_fused.py)
+        qr = _dense(ap["query"], hidden, dtype)
+        kr = _dense(ap["key"], hidden, dtype)
+        vr = _dense(ap["value"], hidden, dtype)
+        ctx = fused_attention_train(
+            qr, kr, vr, mask_bias.reshape(b, -1), rngs[0],
+            nh=nh, rate=cfg.attention_probs_dropout_prob)
     else:
-        q = _dense(ap["query"], hidden, dtype).reshape(b, s, nh, hd)
-        k = _dense(ap["key"], hidden, dtype).reshape(b, s, nh, hd)
-        v = _dense(ap["value"], hidden, dtype).reshape(b, s, nh, hd)
-    ctx = multi_head_attention(
-        q, k, v, mask_bias,
-        dropout_rate=cfg.attention_probs_dropout_prob,
-        dropout_rng=rngs[0], deterministic=deterministic)
+        if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
+            q = _dense_heads(ap["query"], hidden, nh, hd, dtype)
+            k = _dense_heads(ap["key"], hidden, nh, hd, dtype)
+            v = _dense_heads(ap["value"], hidden, nh, hd, dtype)
+        else:
+            q = _dense(ap["query"], hidden, dtype).reshape(b, s, nh, hd)
+            k = _dense(ap["key"], hidden, dtype).reshape(b, s, nh, hd)
+            v = _dense(ap["value"], hidden, dtype).reshape(b, s, nh, hd)
+        ctx = multi_head_attention(
+            q, k, v, mask_bias,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=rngs[0], deterministic=deterministic)
 
     from lightningdot_tpu.ops.fused import fused_enabled
 
     use_fused = not deterministic and fused_enabled()
-    if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
+    if attn_kernel:
+        attn_out = _dense(ap["output"], ctx, dtype)  # already [B,S,H]
+    elif _os.environ.get("LDOT_HEADFOLD", "0") == "1":
         attn_out = _dense_merge(ap["output"], ctx, dtype)
     else:
         attn_out = _dense(ap["output"], ctx.reshape(b, s, h), dtype)

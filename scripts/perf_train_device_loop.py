@@ -147,11 +147,7 @@ def main():
         import os
 
         configs = [
-            ("fold0-store", {"LDOT_HEADFOLD": "0", "LDOT_DROPOUT_MASK": "store"}),
-            ("fold1-regen", {"LDOT_HEADFOLD": "1", "LDOT_DROPOUT_MASK": "regen"}),
-            ("fold0-regen-bf16opt", {"LDOT_HEADFOLD": "0",
-                                     "LDOT_DROPOUT_MASK": "regen",
-                                     "LDOT_OPT_STATE": "bfloat16"}),
+            ("bf16opt", {"LDOT_OPT_STATE": "bfloat16"}),
         ]
         model, params = build(12)
         for tag, env in configs:

@@ -92,3 +92,21 @@ def test_ffn_pallas_kernel_interpret(rows, monkeypatch):
     assert h1_none is None and inter_none is None
     np.testing.assert_allclose(np.asarray(out2), np.asarray(want_out),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_dh1_pallas_kernel_interpret(monkeypatch):
+    """Fused (g @ w2^T) * gelu'(h1) kernel matches the jnp backward math
+    (A&S erf polynomial tolerance)."""
+    monkeypatch.setenv("LDOT_FFN_BLOCK", "64")
+    from lightningdot_tpu.ops.ffn import (_dh1_pallas, _dot, _gelu_grad,
+                                          _precision)
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    rows, h, inter = 130, 64, 256  # ragged last block
+    g = jax.random.normal(ks[0], (rows, h), jnp.float32)
+    h1 = jax.random.normal(ks[1], (rows, inter), jnp.float32)
+    w2 = 0.05 * jax.random.normal(ks[2], (inter, h), jnp.float32)
+    got = _dh1_pallas(g, h1, w2, interpret=True)
+    prec = _precision(jnp.float32)
+    want = (_dot(g, w2.T, prec).astype(jnp.float32)) * _gelu_grad(h1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-6)
