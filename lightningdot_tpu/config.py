@@ -98,6 +98,11 @@ def default_params(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--gradient_accumulation_steps", default=1, type=int)
     parser.add_argument("--learning_rate", default=1e-5, type=float)
     parser.add_argument("--max_grad_norm", default=2.0, type=float)
+    parser.add_argument("--loader_workers", default=4, type=int,
+                        help="parallel whole-batch collate threads for the "
+                        "ITM fine-tune loaders (order-preserving; the "
+                        "pre-train loaders always use 1 — their datasets "
+                        "draw masks from a shared rng)")
     parser.add_argument("--optim_state_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="AdamW moment-state storage dtype. bfloat16 "

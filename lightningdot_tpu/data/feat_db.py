@@ -114,28 +114,37 @@ class DetectFeatDb:
         return name2nbb
 
     def _load(self, file_name: str) -> Dict[str, np.ndarray]:
+        """Record arrays in their STORED dtypes (possibly f16).
+
+        Conversion to f32 is deferred to the batch-assembly copy
+        (padding.pad_feats writes an f32 batch; numpy converts during the
+        assignment, and f16->f32 is exact) — the eager per-item astype
+        plus a second astype in __getitem__ used to cost ~40% of the whole
+        ITM collate (scripts/perf_pipeline.py)."""
         raw = self.db[file_name]
         if bytes(raw[:4]) == _RAW_MAGIC:
-            out = _raw_load(raw)
-        else:  # npz (reference-compatible compressed records)
-            with io.BytesIO(bytes(raw)) as reader:
-                dump = np.load(reader, allow_pickle=True)
-                out = {k: np.asarray(dump[k]) for k in dump.files}
-        return {k: (a.astype(np.float32) if a.dtype == np.float16 else a)
-                for k, a in out.items()}
+            return _raw_load(raw)
+        with io.BytesIO(bytes(raw)) as reader:  # npz (reference records)
+            dump = np.load(reader, allow_pickle=True)
+            return {k: np.asarray(dump[k]) for k in dump.files}
 
     def get_dump(self, file_name: str) -> Dict[str, np.ndarray]:
-        """All arrays truncated to nbb (data.py:96-108; used by MRC)."""
+        """All arrays truncated to nbb, f32 (data.py:96-108; used by MRC)."""
         nbb = self.name2nbb[file_name]
         dump = self._load(file_name)
-        return {k: arr[:nbb, ...] for k, arr in dump.items()}
+        return {k: (arr[:nbb, ...].astype(np.float32, copy=False)
+                    if arr.dtype == np.float16 else arr[:nbb, ...])
+                for k, arr in dump.items()}
 
     def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (img_feat [nbb, d], img_bb [nbb, 6]) (data.py:110-122)."""
+        """-> (img_feat [nbb, d], img_bb [nbb, 6]) (data.py:110-122).
+
+        Arrays keep their stored dtype (f16 or f32); every consumer either
+        pads into an f32 batch (exact conversion on assignment) or casts
+        explicitly."""
         nbb = self.name2nbb[file_name]
         dump = self._load(file_name)
-        return (dump["features"][:nbb].astype(np.float32),
-                dump["norm_bb"][:nbb].astype(np.float32))
+        return dump["features"][:nbb], dump["norm_bb"][:nbb]
 
     def __contains__(self, file_name: str) -> bool:
         return file_name in self.db
@@ -144,8 +153,11 @@ class DetectFeatDb:
                      ) -> Tuple[np.ndarray, np.ndarray, int]:
         """-> (feat, 7-d pos feat, nbb) (data.py:247-251)."""
         img_feat, bb = self[fname]
+        # the area column (w*h) is computed in f32 regardless of the
+        # stored dtype so values match the f32 reference bit-for-bit
+        bb = bb.astype(np.float32, copy=False)
         img_bb = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
-        return img_feat, img_bb.astype(np.float32), img_feat.shape[0]
+        return img_feat, img_bb, img_feat.shape[0]
 
 
 class ImageDbGroup:

@@ -120,7 +120,8 @@ class DataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  collate_fn: Callable = None, sampler=None,
                  seed: Optional[int] = None, prefetch: int = 2,
-                 on_epoch: Optional[Callable] = None):
+                 on_epoch: Optional[Callable] = None,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -129,6 +130,15 @@ class DataLoader:
         self.sampler = sampler
         self._rng = random.Random(seed)
         self._prefetch = prefetch
+        # >1: N threads each fetch+collate WHOLE batches concurrently; the
+        # consumer reorders by sequence number, so batch order is identical
+        # to num_workers=1. Items of one batch stay on one thread. Only use
+        # with datasets whose __getitem__ is deterministic (the ITM
+        # fine-tune datasets pre-sample their epoch; the pre-train datasets
+        # draw masks from a shared rng in __getitem__ and must keep
+        # num_workers=1). numpy/ldkv release the GIL, so collate threads
+        # genuinely overlap.
+        self.num_workers = num_workers
         # called at the start of every epoch (TokenBucketSamplerForItm's
         # new_epoch hook, dvl/data/itm_pre.py:20-29)
         self._on_epoch = on_epoch
@@ -161,6 +171,9 @@ class DataLoader:
     def __iter__(self):
         if self._on_epoch is not None:
             self._on_epoch()
+        if self.num_workers > 1:
+            yield from self._iter_multi(self.num_workers)
+            return
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         _SENTINEL = object()
         stop = threading.Event()
@@ -199,6 +212,68 @@ class DataLoader:
         finally:
             # reached on StopIteration, break out of the consuming loop, or
             # generator GC — release the worker thread
+            stop.set()
+
+    def _iter_multi(self, n_workers: int):
+        """Order-preserving N-thread batch pipeline (see num_workers)."""
+        q: queue.Queue = queue.Queue(maxsize=max(self._prefetch, n_workers))
+        stop = threading.Event()
+        gen = enumerate(self._batches())
+        gen_lock = threading.Lock()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            while not stop.is_set():
+                with gen_lock:
+                    try:
+                        seq, batch_idx = next(gen)
+                    except StopIteration:
+                        break
+                    except BaseException as e:
+                        _put(("err", None, e))
+                        return
+                try:
+                    items = [self.dataset[i] for i in batch_idx]
+                    out = self.collate_fn(items)
+                except BaseException as e:
+                    _put(("err", None, e))
+                    return
+                if not _put(("ok", seq, out)):
+                    return
+            _put(("done", None, None))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        buffered = {}
+        next_seq = 0
+        done = 0
+        try:
+            while done < n_workers:
+                kind, seq, item = q.get()
+                if kind == "err":
+                    raise item
+                if kind == "done":
+                    done += 1
+                    continue
+                buffered[seq] = item
+                while next_seq in buffered:
+                    yield buffered.pop(next_seq)
+                    next_seq += 1
+            # all workers finished; drain any stragglers in order
+            while next_seq in buffered:
+                yield buffered.pop(next_seq)
+                next_seq += 1
+        finally:
             stop.set()
 
 

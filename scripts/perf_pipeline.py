@@ -1,0 +1,57 @@
+"""Host data-pipeline throughput: ITM dataset + collate, 1 vs N workers.
+
+The device train step is ~62 ms at B=96; a single-threaded collate
+(~76 ms/batch at the real 2048-d feature width) caps production training.
+
+Usage: python scripts/perf_pipeline.py [n_imgs] (CPU only)
+"""
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from lightningdot_tpu.data.feat_db import ImageDbGroup  # noqa: E402
+from lightningdot_tpu.data.itm import (CollateConfig,  # noqa: E402
+                                       ItmFastDataset, itm_fast_collate)
+from lightningdot_tpu.data.loader import DataLoader  # noqa: E402
+from lightningdot_tpu.data.synth import make_synth_dataset  # noqa: E402
+from lightningdot_tpu.data.txt_db import TxtTokDb  # noqa: E402
+
+B = 96
+
+
+def main():
+    n_imgs = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    root = tempfile.mkdtemp(prefix="pipe_")
+    txt_dir, img_dir = make_synth_dataset(
+        root, n_imgs=n_imgs, txts_per_img=2, img_dim=2048,
+        min_bb=40, max_bb=64, max_txt_len=32, seed=0)
+    img_db = ImageDbGroup(conf_th=0.2, max_bb=64, min_bb=40, num_bb=36)[
+        img_dir]
+    txt_db = TxtTokDb(txt_dir, 32)
+    ds = ItmFastDataset(txt_db, img_db, num_hard_negatives=0)
+    ds.new_epoch()
+    cc = CollateConfig(fixed_batch=B)
+
+    def collate(items):
+        return itm_fast_collate(items, cc)
+
+    for workers in (1, 2, 4, 8):
+        loader = DataLoader(ds, batch_size=B, shuffle=False,
+                            collate_fn=collate, num_workers=workers)
+        n = 0
+        it = iter(loader)
+        next(it)  # warm caches
+        t0 = time.perf_counter()
+        for _ in it:
+            n += 1
+        dt = (time.perf_counter() - t0) / max(n, 1)
+        print(f"workers={workers}: {dt*1e3:.1f} ms/batch "
+              f"({B/dt:.0f} items/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

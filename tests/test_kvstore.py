@@ -53,11 +53,18 @@ def test_synth_dataset_contracts(tmp_path):
     fname = "synth_000000.npz"
     feat, bb = feat_db[fname]
     nbb = feat_db.name2nbb[fname]
-    assert feat.shape == (nbb, 64) and feat.dtype == np.float32
+    # features/bb keep their STORED dtype (f16 records stay f16; the f32
+    # conversion happens exactly once, during batch assembly — feat_db._load)
+    assert feat.shape == (nbb, 64) and feat.dtype in (np.float16, np.float32)
     assert bb.shape == (nbb, 6)
     f, pos, n = feat_db.get_img_feat(fname)
-    assert pos.shape == (nbb, 7)
-    np.testing.assert_allclose(pos[:, 6], bb[:, 4] * bb[:, 5], rtol=1e-5)
+    assert pos.shape == (nbb, 7) and pos.dtype == np.float32
+    np.testing.assert_allclose(
+        pos[:, 6], bb[:, 4].astype(np.float32) * bb[:, 5].astype(np.float32),
+        rtol=1e-5)
+    batch = np.zeros((1, nbb, 64), np.float32)
+    batch[0] = feat  # assignment converts exactly
+    np.testing.assert_array_equal(batch[0], feat.astype(np.float32))
 
     txt_db = TxtTokDb(txt_dir, max_txt_len=60)
     lens, ids = get_ids_and_lens(txt_db)
