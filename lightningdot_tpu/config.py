@@ -105,10 +105,11 @@ def default_params(parser: argparse.ArgumentParser) -> None:
                         "draw masks from a shared rng)")
     parser.add_argument("--optim_state_dtype", default="float32",
                         choices=["float32", "bfloat16"],
-                        help="AdamW moment-state storage dtype. bfloat16 "
-                        "halves the optimizer HBM sweep per step (update "
-                        "math stays f32, via the single-pass FusedAdamW); "
-                        "float32 matches the reference torch AdamW exactly")
+                        help="AdamW FIRST-moment storage dtype (via the "
+                        "single-pass FusedAdamW; update math stays f32 and "
+                        "the second moment always stays f32 — bf16 v would "
+                        "freeze below ulp). float32 matches the reference "
+                        "torch AdamW exactly")
     parser.add_argument("--warmup_steps", default=500, type=int)
     parser.add_argument("--valid_steps", default=500, type=int)
     parser.add_argument("--num_train_steps", default=5000, type=int)

@@ -7,8 +7,12 @@ Directory contract mirrors the reference image DBs:
 
 Each record value is an .npz payload with at least ``features`` [nbb, 2048]
 and ``norm_bb`` [nbb, 6] (plus ``conf`` / ``soft_labels`` when present), the
-same arrays the reference stores (data.py:110-122). fp16 payloads are
-upcast on read (data.py:23-27).
+same arrays the reference stores (data.py:110-122). Unlike the reference's
+eager fp16 upcast (data.py:23-27), reads KEEP the stored dtype; the f32
+conversion happens exactly once, during the f32 batch-assembly copy
+(padding.pad_feats) — identical values (f16->f32 is exact), one copy fewer
+per item. Consumers doing per-item float math must cast explicitly (see
+get_img_feat's area column); ``get_dump`` still returns f32.
 
 The 7-d position feature is derived exactly as the reference does:
 ``img_bb = cat([bb, bb[:,4]*bb[:,5]])`` (data.py:247-251).

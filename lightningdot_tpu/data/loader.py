@@ -215,7 +215,13 @@ class DataLoader:
             stop.set()
 
     def _iter_multi(self, n_workers: int):
-        """Order-preserving N-thread batch pipeline (see num_workers)."""
+        """Order-preserving N-thread batch pipeline (see num_workers).
+
+        A ticket semaphore bounds total in-flight batches (queued +
+        reorder-buffered): without it, one slow in-order batch would let
+        the workers collate the whole epoch into the reorder buffer."""
+        max_ahead = max(self._prefetch, n_workers) + n_workers
+        tickets = threading.Semaphore(max_ahead)
         q: queue.Queue = queue.Queue(maxsize=max(self._prefetch, n_workers))
         stop = threading.Event()
         gen = enumerate(self._batches())
@@ -230,8 +236,16 @@ class DataLoader:
                     continue
             return False
 
+        def _acquire_ticket() -> bool:
+            while not stop.is_set():
+                if tickets.acquire(timeout=0.2):
+                    return True
+            return False
+
         def worker():
             while not stop.is_set():
+                if not _acquire_ticket():
+                    return
                 with gen_lock:
                     try:
                         seq, batch_idx = next(gen)
@@ -269,10 +283,12 @@ class DataLoader:
                 while next_seq in buffered:
                     yield buffered.pop(next_seq)
                     next_seq += 1
+                    tickets.release()
             # all workers finished; drain any stragglers in order
             while next_seq in buffered:
                 yield buffered.pop(next_seq)
                 next_seq += 1
+                tickets.release()
         finally:
             stop.set()
 

@@ -142,12 +142,15 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
         return _attention_nodrop(q, k, v, bias, scale)
 
     # Training path with prob dropout: fused custom-VJP (ops/fused.py) —
-    # the backward pass recomputes scores/softmax and regenerates the mask
-    # from the key, so no [B,H,S,S] probabilities or keep-mask are stored
-    # between forward and backward. The softmax runs in f32 for stability;
-    # the probs are cast to the compute dtype BEFORE the dropout mask so the
-    # mask traffic moves half as many bytes. Identical expectation; only
-    # bf16 rounding of the kept probabilities differs from the reference.
+    # the backward pass recomputes scores/softmax, so no [B,H,S,S]
+    # probabilities are stored between forward and backward. The keep mask
+    # follows LDOT_DROPOUT_MASK: 'store' (default, bool residual — 4x
+    # smaller than regenerating the u32 bits, which also pay a layout
+    # copy) or 'regen' (no residual at all). The softmax runs in f32 for
+    # stability; the probs are cast to the compute dtype BEFORE the
+    # dropout mask so the mask traffic moves half as many bytes. Identical
+    # expectation; only bf16 rounding of the kept probabilities differs
+    # from the reference.
     from lightningdot_tpu.ops import fused
 
     if fused.fused_enabled():

@@ -1,13 +1,15 @@
 """Fused training-path compositions with residual-storage control.
 
 The default autodiff of ``dropout -> residual-add -> LayerNorm`` (two sites
-per BertLayer, uniter_model/model/layer.py:120-170) materialises a dropout
-keep-mask and the LayerNorm input for the backward pass — pure HBM traffic
-on TPU. These custom-VJP compositions save only tensors that are already
-live (the matmul output, the residual stream, the rng key) and the backward
-pass *regenerates* the mask from the key and *recomputes* the LayerNorm
-input; XLA then fuses each side into one kernel with no intermediate
-round-trips.
+per BertLayer, uniter_model/model/layer.py:120-170) materialises the
+LayerNorm input for the backward pass — pure HBM traffic on TPU. These
+custom-VJP compositions save only tensors that are already live (the
+matmul output, the residual stream) plus, under the default
+LDOT_DROPOUT_MASK='store' policy, the bool keep-mask (1 byte/elem —
+measured cheaper than the 'regen' policy, whose backward re-draws the u32
+bits at 4 bytes/elem and pays a layout copy next to the attention
+einsums); the LayerNorm input is always recomputed. XLA fuses each side
+into one kernel with no other intermediate round-trips.
 
 Same treatment for attention-probability dropout (layer.py:95): the fused
 op saves (q, k, v, bias, key) and recomputes scores/softmax/mask in the
@@ -80,11 +82,12 @@ def _apply_mask(x, keydata, rate, impl):
 
 
 def _ln_f32(u, scale, bias, eps):
-    uf = u.astype(jnp.float32)
-    mean = jnp.mean(uf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(uf - mean), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    return ((uf - mean) * inv * scale + bias).astype(u.dtype)
+    """f32 LayerNorm, cast back — delegates to the ONE LN formula
+    (ops/layernorm._ln_math) so the fused and unfused paths cannot
+    diverge."""
+    from lightningdot_tpu.ops.layernorm import _ln_math
+
+    return _ln_math(u.astype(jnp.float32), scale, bias, eps).astype(u.dtype)
 
 
 def _dal_math(x, res, scale, bias, keydata, rate, eps, impl):
@@ -128,14 +131,18 @@ _dal.defvjp(_dal_fwd, _dal_bwd)
 
 def dropout_add_ln(x, res, scale, bias, rng, *, rate: float,
                    eps: float) -> jnp.ndarray:
-    """``LayerNorm(dropout(x) + res)`` storing no mask and no LN input.
+    """``LayerNorm(dropout(x) + res)`` storing no LN input (and, under the
+    'regen' policy, no mask either — see _mask_stored).
 
     Parity: BertSelfOutput / BertOutput (layer.py:110-122,147-157). ``rng``
-    may be None (or rate 0) for the mask-free fused add+LN.
+    may be None only with rate 0 (the mask-free fused add+LN) — a missing
+    key with a non-zero rate is a caller bug that must fail fast, exactly
+    like jax.random.bernoulli(None) in the unfused path.
     """
-    if rng is None or rate == 0.0:
+    if rate == 0.0:
         keydata, impl = jnp.zeros((2,), jnp.uint32), "threefry2x32"
-        rate = 0.0
+    elif rng is None:
+        raise ValueError("dropout_add_ln: rate > 0 requires an rng key")
     else:
         keydata, impl = key_data_of(rng)
     return _dal(x, res, scale, bias, keydata, float(rate), float(eps), impl)
@@ -148,16 +155,11 @@ def dropout_add_ln(x, res, scale, bias, rng, *, rate: float,
 def _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec):
     """Bit-identical to the inline training branch it replaces
     (ops/attention.py multi_head_attention): f32 softmax, probs cast to the
-    compute dtype BEFORE the mask so mask traffic moves bf16 bytes."""
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32,
-                        precision=prec) * scale
-    scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    probs = _apply_mask(probs, keydata, rate, impl)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32, precision=prec)
-    return out.astype(v.dtype)
+    compute dtype BEFORE the mask so mask traffic moves bf16 bytes. One
+    shared core (_attn_core) serves both mask policies."""
+    mask_shape = (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
+    keep = _keep_mask(keydata, rate, mask_shape, impl)
+    return _attn_core(q, k, v, bias, keep, rate, scale, prec)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))

@@ -116,18 +116,21 @@ class FusedAdamW(NamedTuple):
     weight_decay: float
     max_grad_norm: float
     mask_fn: Any  # params -> bool tree (True = apply weight decay), or None
-    state_dtype: Any = None  # None = param dtype; jnp.bfloat16 halves the
-    # m/v HBM sweep (update math stays f32); a measured-throughput OPTION,
-    # not the parity default — the reference's torch AdamW keeps f32 state
+    state_dtype: Any = None  # None = param dtype; jnp.bfloat16 stores the
+    # FIRST moment in bf16 (update math stays f32) — a measured-throughput
+    # OPTION, not the parity default (reference torch AdamW keeps f32).
+    # The SECOND moment always stays f32: its per-step change
+    # |0.001*(g^2 - v)| is below half a bf16 ulp (~0.002*v) near steady
+    # state, so a bf16 v would round back to itself every step and freeze.
+    # bf16 mu is safe: (1-b1)=0.1 moves it well above ulp scale.
 
     def init(self, params) -> FusedAdamWState:
-        def z(p):
-            dt = self.state_dtype or p.dtype
-            return jnp.zeros(p.shape, dt)
+        def zm(p):
+            return jnp.zeros(p.shape, self.state_dtype or p.dtype)
 
         return FusedAdamWState(jnp.zeros((), jnp.int32),
-                               jax.tree.map(z, params),
-                               jax.tree.map(z, params),
+                               jax.tree.map(zm, params),
+                               jax.tree.map(jnp.zeros_like, params),
                                jnp.zeros((), jnp.float32))
 
     def apply(self, grads, state: FusedAdamWState, params):
@@ -144,15 +147,14 @@ class FusedAdamW(NamedTuple):
         c2 = 1.0 - self.b2 ** count.astype(jnp.float32)
 
         def leaf(g, m, v, p, decay):
-            sdt = m.dtype
+            mdt = m.dtype
             g = g * scale
             m2 = self.b1 * m.astype(jnp.float32) + (1.0 - self.b1) * g
-            v2 = (self.b2 * v.astype(jnp.float32)
-                  + (1.0 - self.b2) * jnp.square(g))
+            v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
             upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + self.eps)
             if self.weight_decay:
                 upd = upd + jnp.where(decay, self.weight_decay, 0.0) * p
-            return p - lr * upd, m2.astype(sdt), v2.astype(sdt)
+            return p - lr * upd, m2.astype(mdt), v2
 
         mask = (self.mask_fn(params) if self.mask_fn is not None
                 else jax.tree.map(lambda _: True, params))

@@ -46,10 +46,13 @@ def test_dropout_add_ln_legacy_key_and_maskfree():
     got = dropout_add_ln(x, res, scale, bias, rng, rate=0.25, eps=1e-12)
     want = unfused_dal(x, res, scale, bias, rng, 0.25, 1e-12)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    # rng=None / rate=0 -> plain fused add+LN
-    got0 = dropout_add_ln(x, res, scale, bias, None, rate=0.5, eps=1e-12)
+    # rate=0 -> plain fused add+LN (rng may be None)
+    got0 = dropout_add_ln(x, res, scale, bias, None, rate=0.0, eps=1e-12)
     want0 = unfused_dal(x, res, scale, bias, None, 0.0, 1e-12)
     np.testing.assert_array_equal(np.asarray(got0), np.asarray(want0))
+    # a missing key with rate>0 is a caller bug and must fail fast
+    with pytest.raises(ValueError):
+        dropout_add_ln(x, res, scale, bias, None, rate=0.5, eps=1e-12)
 
 
 @pytest.mark.parametrize("policy", ["store", "regen"])

@@ -38,14 +38,17 @@ def test_multi_worker_matches_single_worker_order(num_workers):
 
 
 def test_multi_worker_overlaps_collate():
-    """4 workers on a sleep-bound dataset must beat the serial time."""
-    ds = SlowSquares(32, delay=0.01)  # 0.32 s serial item time
-    kw = dict(batch_size=4, collate_fn=collate)
+    """4 workers on a sleep-bound dataset must beat the serial time.
+
+    Generous bound (60% of the 1.28 s serial sleep time) so scheduler
+    jitter on a loaded CI host cannot flake the test; ideal is ~25%."""
+    ds = SlowSquares(64, delay=0.02)  # 1.28 s serial item sleep time
+    kw = dict(batch_size=8, collate_fn=collate)
     t0 = time.perf_counter()
     n = sum(1 for _ in DataLoader(ds, num_workers=4, **kw))
     dt = time.perf_counter() - t0
     assert n == 8
-    assert dt < 0.28, f"no overlap: {dt:.3f}s for 0.32s of item sleeps"
+    assert dt < 0.77, f"no overlap: {dt:.3f}s for 1.28s of item sleeps"
 
 
 def test_multi_worker_propagates_exceptions():

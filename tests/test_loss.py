@@ -120,7 +120,10 @@ def test_fused_adamw_bf16_state_option():
     b16 = make_fused_adamw(1e-3, state_dtype=jnp.bfloat16, **kw)
     p1, s1 = params, f32.init(params)
     p2, s2 = params, b16.init(params)
-    assert s2.mu["w"].dtype == jnp.bfloat16 and s2.nu["w"].dtype == jnp.bfloat16
+    # mu stores bf16; nu must STAY f32 (a bf16 nu's per-step EMA change
+    # is below half an ulp near steady state and would freeze)
+    assert s2.mu["w"].dtype == jnp.bfloat16
+    assert s2.nu["w"].dtype == jnp.float32
     for step in range(10):
         g = {"w": jnp.asarray(rng.standard_normal((16, 32)) * 0.1,
                               jnp.float32)}

@@ -73,7 +73,9 @@ def test_img_prepro_roundtrip(tmp_path_factory, rng):
     # conf > 0.2 determines nbb (7 of 8 linspace(1,0.01) values > 0.2)
     n_expected = int((np.linspace(1, 0.01, 8) > 0.2).sum())
     assert feat.shape == (n_expected, 16)
-    assert feat.dtype == np.float32  # fp16 upcast on read
+    # stored dtype is preserved on read (f32 conversion happens once,
+    # at batch assembly -- feat_db._load)
+    assert feat.dtype in (np.float16, np.float32)
 
 
 def test_caption_meta(tmp_path_factory):
