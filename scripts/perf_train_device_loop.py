@@ -133,13 +133,74 @@ def measure_encode(model, params, tag, bs=256, n_short=4, n_long=16):
 
 
 def main():
+    global B
     setup_runtime()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if len(sys.argv) > 2:
+        B = int(sys.argv[2])
     batch = _synthetic_batch(B, txt_len=TXT_LEN, n_regions=N_REGIONS, seed=0)
 
     if which == "encode":
         model, params = build(12)
         measure_encode(model, params, "device-loop/encode-B256")
+        return
+
+    if which == "pretrain":
+        # MLM pre-train step at BERT-base scale on synthetic data
+        import tempfile
+
+        from lightningdot_tpu.data.feat_db import DetectFeatDb
+        from lightningdot_tpu.data.pretrain import (MlmDataset,
+                                                    PretrainCollateConfig,
+                                                    mlm_collate)
+        from lightningdot_tpu.data.synth import make_synth_dataset
+        from lightningdot_tpu.data.txt_db import TxtTokDb
+        from lightningdot_tpu.models.bi_encoder import (
+            BiEncoderForPretraining)
+        from lightningdot_tpu.training.pretrain_step import (
+            make_pretrain_step)
+
+        root = tempfile.mkdtemp(prefix="pretrain_perf_")
+        txt_dir, img_dir = make_synth_dataset(
+            str(root), n_imgs=max(B, 128), txts_per_img=2, img_dim=2048,
+            min_bb=40, max_bb=64, max_txt_len=TXT_LEN, seed=0)
+        txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
+        img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=64, min_bb=40)
+        ccfg = PretrainCollateConfig(txt_buckets=(TXT_LEN,),
+                                     img_buckets=(N_REGIONS,),
+                                     batch_pad=B, img_label_dim=1601)
+        ds = MlmDataset(txt_db, img_db, seed=0)
+        pbatch = mlm_collate([ds[i % len(ds)] for i in range(B)], ccfg)
+        pbatch = {k: v for k, v in pbatch.items()
+                  if k not in ("n_valid", "sample_size", "teacher")}
+        pbatch = jax.tree.map(jnp.asarray, pbatch)
+
+        txt_cfg = EncoderConfig(vocab_size=28996)
+        img_cfg = EncoderConfig(vocab_size=28996, img_dim=2048)
+        model = BiEncoderForPretraining(
+            BiEncoder(txt_cfg, img_cfg, compute_dtype=jnp.bfloat16))
+        params = model.init(jax.random.PRNGKey(0))
+        tx = make_tx()
+        init_state, step_for_task = make_pretrain_step(model, tx)
+        step = step_for_task("mlm")
+
+        def run_chain(n):
+            def run(state, batch, rng):
+                def body(s, i):
+                    s2, m = step(s, batch, jax.random.fold_in(rng, i))
+                    return s2, m["loss"]
+                s, losses = lax.scan(body, state, jnp.arange(n))
+                return losses[-1].astype(jnp.float32)
+            return jax.jit(run)
+
+        state = init_state(params)
+        rng = dropout_key(0)
+        f4, f16 = run_chain(4), run_chain(16)
+        t4, _ = timed(f4, state, pbatch, rng)
+        t16, loss = timed(f16, state, pbatch, rng)
+        per = (t16 - t4) / 12
+        print(f"device-loop/pretrain-mlm B={B}: {per*1e3:.2f} ms/step "
+              f"({B/per:.0f} ex/s) [loss={loss:.3f}]", flush=True)
         return
 
     if which == "sweep":

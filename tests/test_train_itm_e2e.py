@@ -89,3 +89,46 @@ def test_train_itm_with_hard_negatives(synth, tmp_path_factory):
         "--log_result_step", "2",
     ])
     assert np.isfinite(results["best_val_recall_mean"])
+
+
+def test_train_itm_bf16_optstate_and_workers(synth, tmp_path_factory):
+    """The --optim_state_dtype bfloat16 (FusedAdamW) and --loader_workers
+    paths drive the full fine-tune loop end to end and still learn."""
+    txt_dir, img_dir = synth
+    cfg = small_cfg_file(tmp_path_factory)
+    out_dir = str(tmp_path_factory.mktemp("out_bf16"))
+    from lightningdot_tpu.cli.train_itm import main
+
+    results, state = main([
+        "--txt_model_config", cfg,
+        "--img_model_config", cfg,
+        "--train_txt_dbs", txt_dir,
+        "--train_img_dbs", img_dir,
+        "--val_txt_db", txt_dir,
+        "--val_img_db", img_dir,
+        "--test_txt_db", txt_dir,
+        "--test_img_db", img_dir,
+        "--train_batch_size", "16",
+        "--valid_batch_size", "16",
+        "--num_train_epochs", "4",
+        "--learning_rate", "2e-3",
+        "--max_bb", "10", "--min_bb", "5", "--num_bb", "10",
+        "--max_txt_len", "30",
+        "--compute_dtype", "f32",
+        "--inf_minibatch_size", "16",
+        "--output_dir", out_dir,
+        "--log_result_step", "1",
+        "--optim_state_dtype", "bfloat16",
+        "--loader_workers", "2",
+    ])
+    assert results["best_val_recall_mean"] > 0.5, results
+    # FusedAdamW state: bf16 first moment, f32 second moment
+    import jax
+    import jax.numpy as jnp
+    from lightningdot_tpu.training.optim import FusedAdamWState
+    opt = state.opt_state
+    assert isinstance(opt, FusedAdamWState)
+    leaves_mu = jax.tree.leaves(opt.mu)
+    leaves_nu = jax.tree.leaves(opt.nu)
+    assert all(x.dtype == jnp.bfloat16 for x in leaves_mu)
+    assert all(x.dtype == jnp.float32 for x in leaves_nu)
