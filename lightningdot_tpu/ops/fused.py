@@ -167,32 +167,74 @@ def _attn_drop(q, k, v, bias, keydata, rate, scale, impl, prec):
     return _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec)
 
 
-def _attn_core(q, k, v, bias, keep, rate, scale, prec):
+def _attn_probs(q, k, bias, scale, prec):
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _attn_core(q, k, v, bias, keep, rate, scale, prec):
+    probs = _attn_probs(q, k, bias, scale, prec).astype(v.dtype)
     probs = _apply_keep(probs, keep, rate)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)
 
 
+def _attn_resid_policy() -> str:
+    """Backward residual policy for the attention op: 'recompute' (default)
+    re-runs scores+softmax in the backward from (q, k); 'store_probs'
+    additionally keeps the f32 probabilities so the backward is einsums +
+    the softmax-vjp formula only. A/B-measured on the chip."""
+    return os.environ.get("LDOT_ATTN_RESID", "recompute")
+
+
 def _attn_drop_fwd(q, k, v, bias, keydata, rate, scale, impl, prec):
     mask_shape = (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
     keep = (_keep_mask(keydata, rate, mask_shape, impl) if _mask_stored()
             else None)
+    store_probs = _attn_resid_policy() == "store_probs" and keep is not None
+    probs_f = None
     if keep is None:
         out = _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl,
                               prec)
+    elif store_probs:
+        probs_f = _attn_probs(q, k, bias, scale, prec)
+        dropped = _apply_keep(probs_f.astype(v.dtype), keep, rate)
+        out = jnp.einsum("bhqk,bkhd->bqhd", dropped, v,
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(v.dtype)
     else:
         out = _attn_core(q, k, v, bias, keep, rate, scale, prec)
-    return out, (q, k, v, bias, keydata, keep)
+    return out, (q, k, v, bias, keydata, keep, probs_f)
 
 
 def _attn_drop_bwd(rate, scale, impl, prec, residuals, g):
-    q, k, v, bias, keydata, keep = residuals
+    q, k, v, bias, keydata, keep, probs_f = residuals
+    if probs_f is not None:
+        # stored-probs backward: no scores/softmax recompute
+        def pv(probs_f_, v_):
+            dropped = _apply_keep(probs_f_.astype(v_.dtype), keep, rate)
+            return jnp.einsum("bhqk,bkhd->bqhd", dropped, v_,
+                              preferred_element_type=jnp.float32,
+                              precision=prec).astype(v_.dtype)
+
+        _, vjp_pv = jax.vjp(pv, probs_f, v)
+        dprobs, dv = vjp_pv(g)
+        # softmax vjp from the OUTPUT probs (standard formula), then the
+        # score einsum adjoints
+        ds = probs_f * (dprobs - jnp.sum(dprobs * probs_f, axis=-1,
+                                         keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(q.dtype)
+        dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(k.dtype)
+        return dq, dk, dv, jnp.zeros_like(bias), _float0(keydata)
     if keep is None:
         def f(q_, k_, v_):
             return _attn_drop_math(q_, k_, v_, bias, keydata, rate, scale,

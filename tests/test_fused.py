@@ -94,10 +94,14 @@ def unfused_attn_dropout(q, k, v, bias, rng, rate, scale, prec):
     return out.astype(v.dtype)
 
 
-@pytest.mark.parametrize("policy", ["store", "regen"])
+@pytest.mark.parametrize("policy,resid", [("store", "recompute"),
+                                          ("regen", "recompute"),
+                                          ("store", "store_probs")])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_attention_prob_dropout_matches_inline(dtype, policy, monkeypatch):
+def test_attention_prob_dropout_matches_inline(dtype, policy, resid,
+                                               monkeypatch):
     monkeypatch.setenv("LDOT_DROPOUT_MASK", policy)
+    monkeypatch.setenv("LDOT_ATTN_RESID", resid)
     b, s, h, d = 3, 9, 2, 8
     rng = jax.random.key(3, impl="rbg")
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
