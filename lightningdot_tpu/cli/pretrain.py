@@ -89,18 +89,25 @@ def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train):
     dataset = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
 
     def on_epoch():
-        # resample ITM pairings every epoch (itm_pre.py:20-29)
+        # resample ITM pairings every epoch (itm_pre.py:20-29) and advance
+        # the per-item mask-rng salt so MLM/MRFR/MRC draw fresh masks
         for d in datasets:
             if hasattr(d, "new_epoch"):
                 d.new_epoch()
+            if hasattr(d, "advance_epoch"):
+                d.advance_epoch()
         sampler._lens = [l for d in datasets for l in d.lens]
 
     sampler = TokenBucketSampler(
         [l for d in datasets for l in d.lens], bucket_size=BUCKET_SIZE,
         batch_size=args.train_batch_size if is_train else args.val_batch_size,
         droplast=is_train, seed=args.seed)
+    # per-item mask rngs (seed, epoch, index) make the mask datasets safe
+    # under the order-preserving multi-worker collate pipeline
     return DataLoader(dataset, sampler=sampler, collate_fn=collate,
-                      on_epoch=on_epoch if task.startswith("itm") else None)
+                      on_epoch=on_epoch,
+                      num_workers=(getattr(args, "loader_workers", 1)
+                                   if is_train else 1))
 
 
 def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,

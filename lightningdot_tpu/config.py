@@ -100,9 +100,10 @@ def default_params(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_grad_norm", default=2.0, type=float)
     parser.add_argument("--loader_workers", default=4, type=int,
                         help="parallel whole-batch collate threads for the "
-                        "ITM fine-tune loaders (order-preserving; the "
-                        "pre-train loaders always use 1 — their datasets "
-                        "draw masks from a shared rng)")
+                        "training loaders (order-preserving; safe for both "
+                        "the ITM datasets — deterministic __getitem__ — "
+                        "and the pre-train mask datasets, whose masks come "
+                        "from per-item (seed, epoch, index) rngs)")
     parser.add_argument("--optim_state_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="AdamW FIRST-moment storage dtype (via the "

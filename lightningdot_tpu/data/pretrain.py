@@ -93,7 +93,28 @@ class _PairDataset:
         txt2img = txt_db.txt2img
         self.lens = [tl + img_db.name2nbb[txt2img[i]]
                      for tl, i in zip(self.txt_lens, self.ids)]
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.rng = random.Random(seed)  # epoch-level draws only
+        self._epoch = 0
+
+    def advance_epoch(self):
+        """Salt for item_rng so masks re-draw each epoch (the reference's
+        continuously-advancing stream also gives fresh masks per epoch)."""
+        self._epoch += 1
+
+    def item_rng(self, i) -> random.Random:
+        """Per-ITEM mask rng, keyed (seed, epoch, index).
+
+        Unlike a shared stream, the draw is independent of iteration order
+        and of which loader thread fetches the item — so the mask datasets
+        are safe under the multi-worker DataLoader and bit-reproducible
+        across hosts regardless of batch order. Masking-rule parity with
+        the reference is unchanged (the reference's torch stream differs
+        from any python stream anyway; the rules are what's tested).
+
+        hash() of an int tuple is deterministic across processes
+        (PYTHONHASHSEED only randomizes str/bytes hashing)."""
+        return random.Random(hash((self.seed, self._epoch, i)))
 
     def __len__(self):
         return len(self.ids)
@@ -108,7 +129,7 @@ class MlmDataset(_PairDataset):
     def __getitem__(self, i):
         ex = self.example(i)
         tokens, labels = random_word(ex["input_ids"], self.txt_db.v_range,
-                                     self.txt_db.mask, self.rng)
+                                     self.txt_db.mask, self.item_rng(i))
         input_ids = [self.txt_db.cls_] + tokens + [self.txt_db.sep]
         labels = [-1] + labels + [-1]
         feat, pos, nbb = self.img_db.get_img_feat(ex["img_fname"])
@@ -127,7 +148,7 @@ class MrfrDataset(_PairDataset):
         ex = self.example(i)
         input_ids = self.txt_db.combine_inputs(ex["input_ids"])
         feat, pos, nbb = self.img_db.get_img_feat(ex["img_fname"])
-        img_mask = _get_img_mask(self.mask_prob, nbb, self.rng)
+        img_mask = _get_img_mask(self.mask_prob, nbb, self.item_rng(i))
         return {"input_ids": input_ids, "img_feat": feat,
                 "img_pos_feat": pos, "num_bb": nbb, "img_mask": img_mask}
 
@@ -148,7 +169,7 @@ class MrcDataset(_PairDataset):
         pos = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
         soft_labels = dump["soft_labels"].astype(np.float32)
         nbb = feat.shape[0]
-        img_mask = _get_img_mask(self.mask_prob, nbb, self.rng)
+        img_mask = _get_img_mask(self.mask_prob, nbb, self.item_rng(i))
         return {"input_ids": input_ids, "img_feat": feat,
                 "img_pos_feat": pos.astype(np.float32), "num_bb": nbb,
                 "img_mask": img_mask, "soft_labels": soft_labels}

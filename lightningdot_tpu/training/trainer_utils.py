@@ -43,9 +43,9 @@ def build_dataloader(dataset, collate_fn, is_train: bool, opts,
     """trainer.py:28-37.
 
     ``--loader_workers`` parallelizes whole-batch fetch+collate with order
-    preservation (safe for the ITM datasets, whose __getitem__ is
-    deterministic; the host collate otherwise caps training at ~76 ms/batch
-    vs the 62 ms device step — PERF.md data-pipeline table)."""
+    preservation (the ITM datasets' __getitem__ is deterministic; the host
+    collate otherwise caps training at ~76 ms/batch vs the 62 ms device
+    step — PERF.md data-pipeline table)."""
     if batch_size is None:
         batch_size = opts.train_batch_size if is_train else opts.valid_batch_size
     return DataLoader(dataset, batch_size=batch_size, shuffle=is_train,

@@ -70,3 +70,37 @@ def test_multi_worker_early_break_releases():
     for i, _ in enumerate(loader):
         if i == 2:
             break  # generator GC must stop the worker threads cleanly
+
+
+def test_pretrain_item_rng_order_independent(tmp_path):
+    """Mask datasets draw from per-item (seed, epoch, index) rngs: items
+    are identical regardless of fetch order or repetition, and change
+    when the epoch advances."""
+    from lightningdot_tpu.data.feat_db import DetectFeatDb
+    from lightningdot_tpu.data.pretrain import MlmDataset, MrfrDataset
+    from lightningdot_tpu.data.synth import make_synth_dataset
+    from lightningdot_tpu.data.txt_db import TxtTokDb
+
+    txt_dir, img_dir = make_synth_dataset(
+        str(tmp_path), n_imgs=6, txts_per_img=2, img_dim=16, min_bb=5,
+        max_bb=8, max_txt_len=16, seed=3)
+    txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
+    img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=8, min_bb=5)
+
+    ds = MlmDataset(txt_db, img_db, seed=7)
+    a = [ds[i]["input_ids"] for i in range(len(ds))]
+    # reversed fetch order and refetch: identical draws
+    b = {i: ds[i]["input_ids"] for i in reversed(range(len(ds)))}
+    assert all(a[i] == b[i] for i in range(len(ds)))
+    # a fresh dataset with the same seed reproduces the same masks
+    ds2 = MlmDataset(txt_db, img_db, seed=7)
+    assert [ds2[i]["input_ids"] for i in range(len(ds2))] == a
+    # epoch advance re-draws
+    ds.advance_epoch()
+    c = [ds[i]["input_ids"] for i in range(len(ds))]
+    assert c != a
+
+    mr = MrfrDataset(0.3, txt_db, img_db, seed=7)
+    m1 = mr[0]["img_mask"].tolist()
+    _ = mr[3]  # interleave another item
+    assert mr[0]["img_mask"].tolist() == m1
