@@ -223,3 +223,48 @@ def test_eval_pipeline_recalls_match_torch(tmp_path_factory, rng):
 
     assert res.recall[0] == want_txt, (res.recall[0], want_txt)
     assert res.recall[1] == want_img, (res.recall[1], want_img)
+
+
+def test_joint_encoder_full_size_matches_torch(hf_bert_full, rng):
+    """Full-width JOINT text+image forward (UniterModel.forward,
+    model.py:356-387) — the cross-encoder teacher/re-ranker path — vs the
+    same torch composition (no gather compaction: direct concat)."""
+    bert = hf_bert_full
+    torch.manual_seed(11)
+    img_emb = TorchUniterImageEmbeddings(FULL["hidden_size"], img_dim=2048)
+    img_emb.eval()
+
+    cfg = EncoderConfig(**FULL, img_dim=2048)
+    sd = dict(bert.state_dict())
+    sd.update({f"img_embeddings.{k}": v
+               for k, v in img_emb.state_dict().items()})
+    params = map_tower(sd, with_img=True, num_layers=cfg.num_hidden_layers)
+
+    b, lt, nr = 2, 9, 14
+    ids = rng.integers(106, FULL["vocab_size"], (b, lt)).astype(np.int64)
+    pos = np.broadcast_to(np.arange(lt), (b, lt)).astype(np.int64)
+    feat = rng.standard_normal((b, nr, 2048)).astype(np.float32)
+    fpos = rng.random((b, nr, 7)).astype(np.float32)
+    mask = np.ones((b, lt + nr), np.int32)
+    mask[0, lt + 9:] = 0   # ragged image region count
+    mask[1, 6:lt] = 0      # ragged text length
+
+    with torch.no_grad():
+        temb = bert.embeddings(
+            input_ids=torch.from_numpy(ids),
+            position_ids=torch.from_numpy(pos),
+            token_type_ids=torch.zeros(b, lt, dtype=torch.long))
+        type1 = bert.embeddings.token_type_embeddings(
+            torch.ones(b, nr, dtype=torch.long))
+        iemb = img_emb(torch.from_numpy(feat), torch.from_numpy(fpos), type1)
+        hidden = torch.cat([temb, iemb], dim=1)
+        ext = (1.0 - torch.from_numpy(mask).float()
+               )[:, None, None, :] * -10000.0
+        for layer in bert.encoder.layer:
+            hidden = layer(hidden, attention_mask=ext)[0]
+        ref = hidden.numpy()
+
+    seq = enc.encode_joint(params, cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray(pos, jnp.int32), jnp.asarray(feat),
+                           jnp.asarray(fpos), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(seq), ref, atol=2e-3)
