@@ -39,18 +39,31 @@ def main():
     def collate(items):
         return itm_fast_collate(items, cc)
 
-    for workers in (1, 2, 4, 8):
-        loader = DataLoader(ds, batch_size=B, shuffle=False,
-                            collate_fn=collate, num_workers=workers)
-        n = 0
-        it = iter(loader)
-        next(it)  # warm caches
-        t0 = time.perf_counter()
-        for _ in it:
-            n += 1
-        dt = (time.perf_counter() - t0) / max(n, 1)
-        print(f"workers={workers}: {dt*1e3:.1f} ms/batch "
-              f"({B/dt:.0f} items/s)", flush=True)
+    def sweep(tag, dataset, collate_fn):
+        for workers in (1, 2, 4, 8):
+            loader = DataLoader(dataset, batch_size=B, shuffle=False,
+                                collate_fn=collate_fn, num_workers=workers)
+            n = 0
+            it = iter(loader)
+            next(it)  # warm caches
+            t0 = time.perf_counter()
+            for _ in it:
+                n += 1
+            dt = (time.perf_counter() - t0) / max(n, 1)
+            print(f"{tag} workers={workers}: {dt*1e3:.1f} ms/batch "
+                  f"({B/dt:.0f} items/s)", flush=True)
+
+    sweep("itm", ds, collate)
+
+    # pre-train MLM pipeline (per-item mask rngs -> multi-worker safe)
+    from lightningdot_tpu.data.pretrain import (MlmDataset,
+                                                PretrainCollateConfig,
+                                                mlm_collate)
+
+    mlm_ds = MlmDataset(txt_db, img_db, seed=0)
+    pcfg = PretrainCollateConfig(txt_buckets=(32,), img_buckets=(64,),
+                                 batch_pad=B, img_label_dim=1601)
+    sweep("mlm", mlm_ds, lambda items: mlm_collate(items, pcfg))
 
 
 if __name__ == "__main__":

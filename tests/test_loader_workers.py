@@ -104,3 +104,28 @@ def test_pretrain_item_rng_order_independent(tmp_path):
     m1 = mr[0]["img_mask"].tolist()
     _ = mr[3]  # interleave another item
     assert mr[0]["img_mask"].tolist() == m1
+
+
+def test_loader_on_epoch_advances_mask_rng(tmp_path):
+    """Wiring check: a DataLoader whose on_epoch hook advances the mask
+    dataset's epoch salt yields different masks on the second iteration
+    (the cli/pretrain loaders are built this way)."""
+    from lightningdot_tpu.data.feat_db import DetectFeatDb
+    from lightningdot_tpu.data.pretrain import MlmDataset
+    from lightningdot_tpu.data.synth import make_synth_dataset
+    from lightningdot_tpu.data.txt_db import TxtTokDb
+
+    txt_dir, img_dir = make_synth_dataset(
+        str(tmp_path), n_imgs=5, txts_per_img=2, img_dim=16, min_bb=5,
+        max_bb=8, max_txt_len=16, seed=4)
+    ds = MlmDataset(TxtTokDb(txt_dir, max_txt_len=-1),
+                    DetectFeatDb(img_dir, conf_th=0.2, max_bb=8, min_bb=5),
+                    seed=9)
+    loader = DataLoader(ds, batch_size=4,
+                        collate_fn=lambda it: [x["input_ids"] for x in it],
+                        on_epoch=ds.advance_epoch, num_workers=2)
+    epoch1 = [ids for b in loader for ids in b]
+    epoch2 = [ids for b in loader for ids in b]
+    assert epoch1 != epoch2  # fresh masks each epoch
+    # same dataset order though (no shuffle): examples align positionally
+    assert len(epoch1) == len(epoch2) == len(ds)
