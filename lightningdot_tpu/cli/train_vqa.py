@@ -1,0 +1,172 @@
+"""VQA fine-tuning driver (minimal train/eval path).
+
+Parity: uniter_model/train_vqa.py:100-265 adapted to the bi-encoder VQA
+head (dvl/models/bi_encoder.py:683-734) and this repo's data stack —
+epoch loop over VqaDataset batches, instance-level BCE, per-epoch
+``evaluate_vqa`` validation with best/last checkpointing. The reference's
+vqa_output-specific higher learning rate (train_vqa.py:52-76) is carried
+by ``--vqa_lr_mul`` via an optax mask.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from lightningdot_tpu.config import (add_itm_params, add_logging_params,
+                                     default_params, parse_with_config,
+                                     print_args)
+from lightningdot_tpu.data.feat_db import ImageDbGroup
+from lightningdot_tpu.data.loader import DevicePrefetcher
+from lightningdot_tpu.data.txt_db import TxtTokDb
+from lightningdot_tpu.data.vqa import (VqaCollateConfig, VqaDataset,
+                                       VqaEvalDataset, vqa_collate)
+from lightningdot_tpu.models.factory import build_biencoder
+from lightningdot_tpu.models.vqa import BiEncoderForVQA
+from lightningdot_tpu.training.checkpoints import save_checkpoint
+from lightningdot_tpu.training.itm_step import (create_train_state,
+                                                jit_train_step)
+from lightningdot_tpu.training.optim import make_optimizer, schedule_linear
+from lightningdot_tpu.training.trainer_utils import build_dataloader
+from lightningdot_tpu.training.vqa_step import (evaluate_vqa,
+                                                make_vqa_train_step)
+from lightningdot_tpu.utils.logging import LOGGER, RunningMeter, TB_LOGGER
+from lightningdot_tpu.utils.runtime import dropout_key, setup_runtime
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("train_vqa")
+    default_params(parser)
+    add_itm_params(parser)  # db paths + region-feature knobs
+    add_logging_params(parser)
+    parser.add_argument("--num_answers", default=3129, type=int,
+                        help="answer vocabulary size (VQA v2: 3129)")
+    parser.add_argument("--vqa_intersection", action="store_true",
+                        help="[q,ctx,q*ctx,q+ctx] head input "
+                             "(bi_encoder.py:694-710)")
+    parser.add_argument("--vqa_lr_mul", default=1.0, type=float,
+                        help="learning-rate multiplier for the vqa_output "
+                             "head (train_vqa.py:52-76)")
+    return parser
+
+
+def main(cmds=None):
+    args = parse_with_config(build_parser(), cmds)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print_args(args, LOGGER.info)
+    TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
+    setup_runtime(args)
+    np.random.seed(args.seed)
+
+    if isinstance(args.train_txt_dbs, str):
+        args.train_txt_dbs = [args.train_txt_dbs]
+    if isinstance(args.train_img_dbs, str):
+        args.train_img_dbs = [args.train_img_dbs]
+
+    bi_encoder, bi_params = build_biencoder(args, seed=args.seed)
+    model = BiEncoderForVQA(
+        bi_encoder=bi_encoder,
+        hidden_size=bi_encoder.txt_cfg.out_size,
+        num_answer=args.num_answers,
+        intersection=args.vqa_intersection)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    params["biencoder"] = bi_params
+
+    all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
+                               args.num_bb)
+    train_sets = [
+        VqaDataset(args.num_answers, TxtTokDb(t, args.max_txt_len),
+                   all_img_dbs[im])
+        for t, im in zip(args.train_txt_dbs, args.train_img_dbs)]
+    from lightningdot_tpu.training.trainer_utils import ConcatDataset
+    train_dataset = (train_sets[0] if len(train_sets) == 1
+                     else ConcatDataset(train_sets))
+    val_dataset = VqaEvalDataset(args.num_answers,
+                                 TxtTokDb(args.val_txt_db, -1),
+                                 all_img_dbs[args.val_img_db])
+
+    collate = lambda items: vqa_collate(
+        items, VqaCollateConfig(fixed_batch=args.train_batch_size))
+    eval_collate = lambda items: vqa_collate(
+        items, VqaCollateConfig(fixed_batch=args.valid_batch_size))
+    train_loader = build_dataloader(train_dataset, collate, True, args)
+    val_loader = build_dataloader(val_dataset, eval_collate, False, args)
+
+    updates_per_epoch = max(
+        len(train_loader) // args.gradient_accumulation_steps, 1)
+    total_updates = updates_per_epoch * max(args.num_train_epochs, 1)
+    lr_schedule = schedule_linear(args.learning_rate,
+                                  int(0.1 * total_updates), total_updates)
+    if args.vqa_lr_mul != 1.0:
+        import optax
+
+        head_schedule = schedule_linear(args.learning_rate * args.vqa_lr_mul,
+                                        int(0.1 * total_updates),
+                                        total_updates)
+        tx = optax.multi_transform(
+            {"body": make_optimizer(lr_schedule,
+                                    max_grad_norm=args.max_grad_norm),
+             "head": make_optimizer(head_schedule,
+                                    max_grad_norm=args.max_grad_norm)},
+            lambda p: {k: ("head" if k == "vqa_output" else "body")
+                       for k in p})
+    else:
+        tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
+
+    train_step = jit_train_step(make_vqa_train_step(model, tx), mesh=None,
+                                donate=True)
+    state = create_train_state(params, tx)
+
+    rng = dropout_key(args.seed)
+    best_acc = -1.0
+    loss_meter = RunningMeter("loss")
+    global_step = 0
+    results = {}
+    for epoch in range(args.num_train_epochs):
+        t0 = time.time()
+        n_ex = 0
+        pending = None
+        for step, batch in enumerate(
+                DevicePrefetcher(train_loader, put=lambda b: b)):
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(rng, global_step))
+            global_step += 1
+            n_ex += batch["n_valid"]
+            if (step + 1) % args.log_result_step == 0:
+                if pending is not None:
+                    loss = float(pending["loss"])
+                    loss_meter(loss)
+                    LOGGER.info(
+                        "Epoch %d: step %d/%d, loss=%.4f score=%.4f "
+                        "(%.1f ex/s)", epoch, step + 1, len(train_loader),
+                        loss, float(pending["score"]),
+                        n_ex / max(time.time() - t0, 1e-6))
+                    TB_LOGGER.set_step(global_step)
+                    TB_LOGGER.log_metric("loss_train", loss)
+                pending = metrics
+
+        val = evaluate_vqa(model, state.params, val_loader)
+        LOGGER.info("epoch %d: val loss=%.4f acc=%.4f", epoch, val["loss"],
+                    val["acc"])
+        TB_LOGGER.log_scalar_dict({"loss": val["loss"], "acc": val["acc"]},
+                                  prefix="val")
+        ckpt = lambda name: save_checkpoint(
+            os.path.join(args.output_dir, f"vqa.{name}"),
+            model=state.params, step=global_step, epoch=epoch)
+        if val["acc"] > best_acc:
+            best_acc = val["acc"]
+            ckpt("best")
+        ckpt("last")
+        results = {"best_val_acc": best_acc, "last_val": {
+            "loss": val["loss"], "acc": val["acc"]}}
+
+    print(json.dumps(results, default=float))
+    return results, state
+
+
+if __name__ == "__main__":
+    main()

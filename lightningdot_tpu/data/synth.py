@@ -25,8 +25,8 @@ def make_synth_dataset(root: str, *, n_imgs: int = 32, txts_per_img: int = 5,
                        img_dim: int = 2048, min_bb: int = 10,
                        max_bb: int = 100, conf_th: float = 0.2,
                        max_txt_len: int = 40, n_labels: int = 1601,
-                       with_soft_labels: bool = False, seed: int = 0
-                       ) -> Tuple[str, str]:
+                       with_soft_labels: bool = False, seed: int = 0,
+                       vqa_answers: int = 0) -> Tuple[str, str]:
     """Create <root>/img and <root>/txt_db; returns (txt_db_dir, img_dir)."""
     rng = np.random.default_rng(seed)
     img_dir = f"{root}/img"
@@ -62,5 +62,14 @@ def make_synth_dataset(root: str, *, n_imgs: int = 32, txts_per_img: int = 5,
             length = int(rng.integers(4, max_txt_len - 2))
             ids = rng.integers(lo, hi, length).tolist()
             examples[tid] = {"input_ids": ids, "img_fname": fname}
+            if vqa_answers > 0:
+                # soft VQA target: 1-3 answers with scores in (0, 1]
+                # (dvl/data/vqa.py:11-17 labels/scores contract)
+                k = int(rng.integers(1, 4))
+                labels = rng.choice(vqa_answers, size=k,
+                                    replace=False).tolist()
+                scores = (rng.integers(1, 4, k) / 3.0).tolist()
+                examples[tid]["target"] = {"labels": labels,
+                                           "scores": scores}
     write_txt_db(txt_dir, examples, DEFAULT_META)
     return txt_dir, img_dir

@@ -221,6 +221,8 @@ def jit_train_step(train_step: Callable, mesh=None,
               "caps": batch["caps"]}
         if "valid_mask" in batch:
             mb["valid_mask"] = batch["valid_mask"]
+        if "targets" in batch:  # dense per-answer targets (VQA)
+            mb["targets"] = batch["targets"]
         if "teacher" in batch and batch["teacher"] is not None:
             t = dict(batch["teacher"])
             t.pop("gather_index", None)
