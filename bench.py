@@ -43,6 +43,61 @@ class _FixedTokenizer:
         return ids + [102]
 
 
+def _real_tokenizer_ms() -> float:
+    """Host-side WordPiece cost per query, measured with the genuine
+    ``transformers.BertTokenizer`` (the reference tokenizes inside
+    ``retrieve_query``, dvl/utils.py:205-208 — this cost is part of its
+    end-to-end latency). Zero-egress environment: a full-size 28,996-entry
+    cased vocab is synthesized locally; WordPiece runtime depends on vocab
+    size and longest-prefix structure, not the specific merges, and the
+    captions are built from in-vocab pieces so real subword splits happen.
+    """
+    import os
+    import random
+    import tempfile
+
+    from transformers import BertTokenizer
+
+    rng = random.Random(0)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    pieces = set()
+    while len(pieces) < 9000:           # word-initial pieces
+        pieces.add("".join(rng.choice(letters)
+                           for _ in range(rng.randint(2, 7))))
+    subs = set()
+    while len(subs) < 19900:            # continuation pieces
+        subs.add("##" + "".join(rng.choice(letters)
+                                for _ in range(rng.randint(1, 5))))
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + sorted(pieces) + sorted(subs))[:28996]
+    roots = sorted(pieces)
+    conts = [s[2:] for s in sorted(subs)]
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "vocab.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(vocab))
+        tok = BertTokenizer(vocab_file=path, do_lower_case=False)
+        # ~12-word captions whose words decompose into 1-3 in-vocab pieces
+        caps = []
+        for _ in range(64):
+            words = []
+            for _ in range(12):
+                w = rng.choice(roots)
+                for _ in range(rng.randint(0, 2)):
+                    w += rng.choice(conts)
+                words.append(w)
+            caps.append(" ".join(words))
+        for c in caps:                  # warm the tokenizer caches
+            tok.encode(c)
+        n_rounds = 8
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            for c in caps:
+                tok.encode(c)
+        return (time.perf_counter() - t0) / (n_rounds * len(caps)) * 1000.0
+
+
 def main():
     from lightningdot_tpu.config import EncoderConfig
     from lightningdot_tpu.models import encoder as enc
@@ -119,11 +174,17 @@ def main():
                     for _ in range(5))
     p50_ms = slopes[2] * 1000.0
 
+    tok_ms = _real_tokenizer_ms()
+
     print(json.dumps({
         "metric": "full_coco_123k_query_latency_p50",
         "value": round(p50_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_P50_MS / p50_ms, 2),
+        # host-side WordPiece tokenization (the reference pays this inside
+        # retrieve_query too); end_to_end = tokenize + device program
+        "tokenize_host_ms": round(tok_ms, 3),
+        "end_to_end_ms": round(p50_ms + tok_ms, 3),
     }))
 
 

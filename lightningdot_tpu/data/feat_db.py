@@ -120,11 +120,11 @@ class DetectFeatDb:
     def _load(self, file_name: str) -> Dict[str, np.ndarray]:
         """Record arrays in their STORED dtypes (possibly f16).
 
-        Conversion to f32 is deferred to the batch-assembly copy
-        (padding.pad_feats writes an f32 batch; numpy converts during the
-        assignment, and f16->f32 is exact) — the eager per-item astype
-        plus a second astype in __getitem__ used to cost ~40% of the whole
-        ITM collate (scripts/perf_pipeline.py)."""
+        Since round 3 the batch keeps the stored dtype end-to-end
+        (padding.pad_feats emits an f16 batch for f16 records; the model
+        casts to its compute dtype on device, and f16->f32/bf16 is
+        value-preserving) — the old host-side f16->f32 conversion was ~45
+        ms/batch at the B=96 pre-train shape (scripts/perf_pipeline.py)."""
         raw = self.db[file_name]
         if bytes(raw[:4]) == _RAW_MAGIC:
             return _raw_load(raw)

@@ -7,9 +7,70 @@ is fully masked) with a bounded number of compiled programs.
 """
 from __future__ import annotations
 
+import threading
 from typing import List, Sequence
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Large-batch buffer pool.
+#
+# Rotating multi-MB batch allocations through a threaded pipeline (loader
+# worker allocates, training loop frees) degenerate into an mmap/page-fault
+# storm: with >2 batches live the allocator serves every batch from fresh
+# pages, and first-touch faults run the collate 7-30x slower than the pure
+# copy (measured on the 1-core dev VM: 3 -> 21-110 ms for one [96,64,2048]
+# f16 pad). Recycling the arrays through a small pool keeps the pages hot.
+# ``DevicePrefetcher`` recycles batches after the training step has
+# dispatched (TPU backend only — on CPU jax may alias numpy buffers
+# zero-copy, so recycling would corrupt live data).
+# ---------------------------------------------------------------------------
+
+_POOL: dict = {}
+_POOL_LOCK = threading.Lock()
+_POOL_MIN_BYTES = 1 << 20   # pool only multi-MB feature batches
+# live buffers per shape = loader workers (in flight) + queue (2) + consumer
+# retention (2); 12 covers the 8-worker sweep (at [96,104,2048] f16 that is
+# ~0.5 GB/shape — fine on training hosts; shrink if memory-bound)
+_POOL_PER_KEY = 12
+
+
+def _pool_get(shape, dtype) -> np.ndarray:
+    key = (tuple(shape), np.dtype(dtype).str)
+    with _POOL_LOCK:
+        free = _POOL.get(key)
+        if free:
+            return free.pop()
+    return np.empty(shape, dtype)
+
+
+def recycle(tree) -> None:
+    """Return a batch's large numpy arrays to the pool.
+
+    Safe ONLY once nothing else reads the arrays (i.e. after the step that
+    consumed the batch has dispatched its transfers). Shared references
+    inside one batch (e.g. the teacher sub-batch aliasing txts arrays) are
+    deduped by object identity.
+    """
+    seen: set = set()
+
+    def walk(x):
+        if isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif (isinstance(x, np.ndarray) and x.nbytes >= _POOL_MIN_BYTES
+              and x.base is None and id(x) not in seen):
+            seen.add(id(x))
+            key = (x.shape, x.dtype.str)
+            with _POOL_LOCK:
+                free = _POOL.setdefault(key, [])
+                if len(free) < _POOL_PER_KEY:
+                    free.append(x)
+
+    walk(tree)
 
 
 def bucket_len(n: int, buckets: Sequence[int]) -> int:
@@ -35,13 +96,27 @@ def pad_mask(lens: Sequence[int], length: int) -> np.ndarray:
     return out
 
 
-def pad_feats(feats: List[np.ndarray], length: int) -> np.ndarray:
-    """B x [T_i, D] -> [B, length, D] zero-padded (data.py:270-283)."""
+def pad_feats(feats: List[np.ndarray], length: int,
+              dtype=None) -> np.ndarray:
+    """B x [T_i, D] -> [B, length, D] zero-padded (data.py:270-283).
+
+    Keeps the source dtype when uniform: f16 region features stay f16 (the
+    model casts to its compute dtype on device anyway, and every stored-f16
+    value is exactly representable in f32/bf16, so this is value-preserving).
+    The old always-f32 batch paid a ~45 ms/batch host conversion at the
+    B=96 x 64 x 2048 pre-train shape — the entire MLM collate budget.
+    Mixed input dtypes promote to f32; pass ``dtype`` to force one.
+    """
     d = feats[0].shape[-1]
-    out = np.zeros((len(feats), length, d), np.float32)
+    if dtype is None:
+        dtype = feats[0].dtype
+        if any(f.dtype != dtype for f in feats):
+            dtype = np.float32
+    out = _pool_get((len(feats), length, d), dtype)
     for i, f in enumerate(feats):
         L = min(f.shape[0], length)
         out[i, :L] = f[:L]
+        out[i, L:] = 0
     return out
 
 

@@ -359,7 +359,9 @@ def mrfr_collate(items: List[dict],
     # embedding (model.py:262-266) — reproduce both
     positions, weights, img_masks, feat_targets = _region_mask_arrays(
         items, cfg, R, with_soft_labels=False, n_valid=n_valid)
-    imgs["img_feat"] = imgs["img_feat"] * (1 - img_masks[:, :, None])
+    # keep the (possibly f16) feature dtype: int32 * f16 would promote to f64
+    imgs["img_feat"] = imgs["img_feat"] * (
+        1 - img_masks[:, :, None]).astype(imgs["img_feat"].dtype)
     imgs["img_masks"] = img_masks
     batch = {"txts": txts, "imgs": imgs, "caps": None,
              "img_masked_positions": positions,
@@ -385,7 +387,8 @@ def mrc_collate(items: List[dict],
     txts, imgs, L, R = _two_tower_base(items, cfg)
     positions, weights, img_masks, label_targets = _region_mask_arrays(
         items, cfg, R, with_soft_labels=True, n_valid=n_valid)
-    imgs["img_feat"] = imgs["img_feat"] * (1 - img_masks[:, :, None])
+    imgs["img_feat"] = imgs["img_feat"] * (
+        1 - img_masks[:, :, None]).astype(imgs["img_feat"].dtype)
     imgs["img_masks"] = img_masks
     batch = {"txts": txts, "imgs": imgs, "caps": None,
              "img_masked_positions": positions,

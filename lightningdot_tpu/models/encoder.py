@@ -202,6 +202,32 @@ def _dense_merge(p: Params, ctx, dtype):
     return (y + p["bias"]).astype(dtype)
 
 
+def _dense_heads_major(p: Params, x, nh, hd, dtype):
+    """[B,S,H] -> [B,nh,S,hd] HEAD-MAJOR in one einsum
+    (``LDOT_ATTN_LAYOUT=bnsd``): the attention dot_generals batch over the
+    leading (b, n) axes, so producing q/k/v in that layout directly lets
+    XLA feed them without the [B,S,H]->[B,S,nh,hd] reshape that
+    materialises as a physical layout copy (~7.8 ms/step of 'data
+    formatting' in the round-2 trace). Same contraction/accumulation as
+    ``_dense``; bias added in f32."""
+    w = p["kernel"].astype(dtype).reshape(-1, nh, hd)
+    y = jnp.einsum("bsh,hnd->bnsd", x.astype(dtype), w,
+                   preferred_element_type=jnp.float32,
+                   precision=matmul_precision(dtype))
+    return (y + p["bias"].reshape(nh, 1, hd)).astype(dtype)
+
+
+def _dense_merge_major(p: Params, ctx, dtype):
+    """Head-major counterpart of :func:`_dense_merge`:
+    [B,nh,S,hd] -> [B,S,H]."""
+    nh, hd = ctx.shape[1], ctx.shape[3]
+    w = p["kernel"].astype(dtype).reshape(nh, hd, -1)
+    y = jnp.einsum("bnsd,ndh->bsh", ctx.astype(dtype), w,
+                   preferred_element_type=jnp.float32,
+                   precision=matmul_precision(dtype))
+    return (y + p["bias"]).astype(dtype)
+
+
 def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return layer_norm(x, p["scale"], p["bias"], eps)
 
@@ -292,7 +318,12 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
             qr, kr, vr, mask_bias.reshape(b, -1), rngs[0],
             nh=nh, rate=cfg.attention_probs_dropout_prob)
     else:
-        if _os.environ.get("LDOT_HEADFOLD", "0") == "1":
+        attn_layout = _os.environ.get("LDOT_ATTN_LAYOUT", "bshd")
+        if attn_layout == "bnsd":
+            q = _dense_heads_major(ap["query"], hidden, nh, hd, dtype)
+            k = _dense_heads_major(ap["key"], hidden, nh, hd, dtype)
+            v = _dense_heads_major(ap["value"], hidden, nh, hd, dtype)
+        elif _os.environ.get("LDOT_HEADFOLD", "0") == "1":
             q = _dense_heads(ap["query"], hidden, nh, hd, dtype)
             k = _dense_heads(ap["key"], hidden, nh, hd, dtype)
             v = _dense_heads(ap["value"], hidden, nh, hd, dtype)
@@ -303,13 +334,16 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
         ctx = multi_head_attention(
             q, k, v, mask_bias,
             dropout_rate=cfg.attention_probs_dropout_prob,
-            dropout_rng=rngs[0], deterministic=deterministic)
+            dropout_rng=rngs[0], deterministic=deterministic,
+            layout="bnsd" if attn_layout == "bnsd" else "bshd")
 
     from lightningdot_tpu.ops.fused import fused_enabled
 
     use_fused = not deterministic and fused_enabled()
     if attn_kernel:
         attn_out = _dense(ap["output"], ctx, dtype)  # already [B,S,H]
+    elif _os.environ.get("LDOT_ATTN_LAYOUT", "bshd") == "bnsd":
+        attn_out = _dense_merge_major(ap["output"], ctx, dtype)
     elif _os.environ.get("LDOT_HEADFOLD", "0") == "1":
         attn_out = _dense_merge(ap["output"], ctx, dtype)
     else:

@@ -38,15 +38,18 @@ def _precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _attention_math(q, k, v, bias, scale):
-    # q,k,v: [B, S, H, D]; bias: broadcastable to [B, H, S, S]
+def _attention_math(q, k, v, bias, scale, layout="bshd"):
+    # q,k,v: [B, S, H, D] ('bshd') or [B, H, S, D] ('bnsd'); bias
+    # broadcastable to [B, H, S, S] (same semantic axes either way)
+    from lightningdot_tpu.ops.fused import _ATTN_EQS
+
     prec = _precision(q.dtype)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    scores = jnp.einsum(_ATTN_EQS[layout][0], q, k,
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+    out = jnp.einsum(_ATTN_EQS[layout][1], probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)
 
@@ -100,23 +103,24 @@ def _attention_pallas(q, k, v, bias, scale):
     return out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attention_nodrop(q, k, v, bias, scale):
-    small_grid = q.shape[0] * q.shape[2] <= _PALLAS_MAX_GRID
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_nodrop(q, k, v, bias, scale, layout):
+    small_grid = (q.shape[0] * q.shape[2] <= _PALLAS_MAX_GRID
+                  and layout == "bshd")
     if backend() == "pallas" and bias.shape[-2] == 1 and small_grid:
         return _attention_pallas(q, k, v, bias, scale)
-    return _attention_math(q, k, v, bias, scale)
+    return _attention_math(q, k, v, bias, scale, layout)
 
 
-def _attention_nodrop_fwd(q, k, v, bias, scale):
-    return _attention_nodrop(q, k, v, bias, scale), (q, k, v, bias)
+def _attention_nodrop_fwd(q, k, v, bias, scale, layout):
+    return _attention_nodrop(q, k, v, bias, scale, layout), (q, k, v, bias)
 
 
-def _attention_nodrop_bwd(scale, res, g):
+def _attention_nodrop_bwd(scale, layout, res, g):
     q, k, v, bias = res
 
     def ref(q, k, v):
-        return _attention_math(q, k, v, bias, scale)
+        return _attention_math(q, k, v, bias, scale, layout)
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
@@ -127,11 +131,13 @@ _attention_nodrop.defvjp(_attention_nodrop_fwd, _attention_nodrop_bwd)
 
 
 def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
-                         dropout_rng=None, deterministic: bool = True):
+                         dropout_rng=None, deterministic: bool = True,
+                         layout: str = "bshd"):
     """Fused scaled-dot-product attention.
 
     Args:
-      q, k, v: [batch, seq, heads, head_dim] (projection-native layout).
+      q, k, v: [batch, seq, heads, head_dim] (projection-native 'bshd'
+        layout) or [batch, heads, seq, head_dim] ('bnsd' head-major).
       bias: additive mask, broadcastable to [batch, heads, seq, seq]
         (0 keep / -10000 drop, reference model.py:362-365).
       dropout_rate: attention-prob dropout (layer.py:95); only applied when
@@ -139,7 +145,7 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if deterministic or dropout_rate == 0.0:
-        return _attention_nodrop(q, k, v, bias, scale)
+        return _attention_nodrop(q, k, v, bias, scale, layout)
 
     # Training path with prob dropout: fused custom-VJP (ops/fused.py) —
     # the backward pass recomputes scores/softmax, so no [B,H,S,S]
@@ -156,7 +162,8 @@ def multi_head_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     if fused.fused_enabled():
         return fused.attention_prob_dropout(q, k, v, bias, dropout_rng,
                                             rate=dropout_rate, scale=scale,
-                                            prec=_precision(q.dtype))
+                                            prec=_precision(q.dtype),
+                                            layout=layout)
     keydata, impl = fused.key_data_of(dropout_rng)
     return fused._attn_drop_math(q, k, v, bias, keydata, dropout_rate,
-                                 scale, impl, _precision(q.dtype))
+                                 scale, impl, _precision(q.dtype), layout)

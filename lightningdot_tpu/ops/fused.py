@@ -152,33 +152,52 @@ def dropout_add_ln(x, res, scale, bias, rng, *, rate: float,
 # Attention with probability dropout (training path)
 # ---------------------------------------------------------------------------
 
-def _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec):
+# einsum equations per q/k/v layout: (scores, probs@v). 'bshd' is the
+# projection-native default; 'bnsd' is the head-major experiment (q/k/v
+# produced as [B, heads, S, dim] directly by the projection einsum so the
+# attention dot_generals see their preferred batch-leading layout without a
+# materialised transpose). The keep-mask SHAPE is [B, h, q, k] in both, so
+# the rng draw — and therefore the math — is bit-identical across layouts.
+_ATTN_EQS = {
+    "bshd": ("bqhd,bkhd->bhqk", "bhqk,bkhd->bqhd"),
+    "bnsd": ("bnqd,bnkd->bnqk", "bnqk,bnkd->bnqd"),
+}
+
+
+def _attn_mask_shape(q, k, layout):
+    if layout == "bnsd":
+        return (q.shape[0], q.shape[1], q.shape[2], k.shape[2])
+    return (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
+
+
+def _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec,
+                    layout="bshd"):
     """Bit-identical to the inline training branch it replaces
     (ops/attention.py multi_head_attention): f32 softmax, probs cast to the
     compute dtype BEFORE the mask so mask traffic moves bf16 bytes. One
     shared core (_attn_core) serves both mask policies."""
-    mask_shape = (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
-    keep = _keep_mask(keydata, rate, mask_shape, impl)
-    return _attn_core(q, k, v, bias, keep, rate, scale, prec)
+    keep = _keep_mask(keydata, rate, _attn_mask_shape(q, k, layout), impl)
+    return _attn_core(q, k, v, bias, keep, rate, scale, prec, layout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _attn_drop(q, k, v, bias, keydata, rate, scale, impl, prec):
-    return _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _attn_drop(q, k, v, bias, keydata, rate, scale, impl, prec, layout):
+    return _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl, prec,
+                           layout)
 
 
-def _attn_probs(q, k, bias, scale, prec):
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+def _attn_probs(q, k, bias, scale, prec, layout="bshd"):
+    scores = jnp.einsum(_ATTN_EQS[layout][0], q, k,
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
     return jax.nn.softmax(scores, axis=-1)
 
 
-def _attn_core(q, k, v, bias, keep, rate, scale, prec):
-    probs = _attn_probs(q, k, bias, scale, prec).astype(v.dtype)
+def _attn_core(q, k, v, bias, keep, rate, scale, prec, layout="bshd"):
+    probs = _attn_probs(q, k, bias, scale, prec, layout).astype(v.dtype)
     probs = _apply_keep(probs, keep, rate)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    out = jnp.einsum(_ATTN_EQS[layout][1], probs, v,
                      preferred_element_type=jnp.float32, precision=prec)
     return out.astype(v.dtype)
 
@@ -191,33 +210,32 @@ def _attn_resid_policy() -> str:
     return os.environ.get("LDOT_ATTN_RESID", "recompute")
 
 
-def _attn_drop_fwd(q, k, v, bias, keydata, rate, scale, impl, prec):
-    mask_shape = (q.shape[0], q.shape[2], q.shape[1], k.shape[1])
-    keep = (_keep_mask(keydata, rate, mask_shape, impl) if _mask_stored()
-            else None)
+def _attn_drop_fwd(q, k, v, bias, keydata, rate, scale, impl, prec, layout):
+    keep = (_keep_mask(keydata, rate, _attn_mask_shape(q, k, layout), impl)
+            if _mask_stored() else None)
     store_probs = _attn_resid_policy() == "store_probs" and keep is not None
     probs_f = None
     if keep is None:
         out = _attn_drop_math(q, k, v, bias, keydata, rate, scale, impl,
-                              prec)
+                              prec, layout)
     elif store_probs:
-        probs_f = _attn_probs(q, k, bias, scale, prec)
+        probs_f = _attn_probs(q, k, bias, scale, prec, layout)
         dropped = _apply_keep(probs_f.astype(v.dtype), keep, rate)
-        out = jnp.einsum("bhqk,bkhd->bqhd", dropped, v,
+        out = jnp.einsum(_ATTN_EQS[layout][1], dropped, v,
                          preferred_element_type=jnp.float32,
                          precision=prec).astype(v.dtype)
     else:
-        out = _attn_core(q, k, v, bias, keep, rate, scale, prec)
+        out = _attn_core(q, k, v, bias, keep, rate, scale, prec, layout)
     return out, (q, k, v, bias, keydata, keep, probs_f)
 
 
-def _attn_drop_bwd(rate, scale, impl, prec, residuals, g):
+def _attn_drop_bwd(rate, scale, impl, prec, layout, residuals, g):
     q, k, v, bias, keydata, keep, probs_f = residuals
     if probs_f is not None:
         # stored-probs backward: no scores/softmax recompute
         def pv(probs_f_, v_):
             dropped = _apply_keep(probs_f_.astype(v_.dtype), keep, rate)
-            return jnp.einsum("bhqk,bkhd->bqhd", dropped, v_,
+            return jnp.einsum(_ATTN_EQS[layout][1], dropped, v_,
                               preferred_element_type=jnp.float32,
                               precision=prec).astype(v_.dtype)
 
@@ -228,20 +246,29 @@ def _attn_drop_bwd(rate, scale, impl, prec, residuals, g):
         ds = probs_f * (dprobs - jnp.sum(dprobs * probs_f, axis=-1,
                                          keepdims=True))
         ds = (ds * scale).astype(q.dtype)
-        dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
-                        preferred_element_type=jnp.float32,
-                        precision=prec).astype(q.dtype)
-        dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q,
-                        preferred_element_type=jnp.float32,
-                        precision=prec).astype(k.dtype)
+        if layout == "bnsd":
+            dq = jnp.einsum("bnqk,bnkd->bnqd", ds, k,
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(q.dtype)
+            dk = jnp.einsum("bnqk,bnqd->bnkd", ds, q,
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(k.dtype)
+        else:
+            dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(q.dtype)
+            dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q,
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(k.dtype)
         return dq, dk, dv, jnp.zeros_like(bias), _float0(keydata)
     if keep is None:
         def f(q_, k_, v_):
             return _attn_drop_math(q_, k_, v_, bias, keydata, rate, scale,
-                                   impl, prec)
+                                   impl, prec, layout)
     else:
         def f(q_, k_, v_):
-            return _attn_core(q_, k_, v_, bias, keep, rate, scale, prec)
+            return _attn_core(q_, k_, v_, bias, keep, rate, scale, prec,
+                              layout)
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, jnp.zeros_like(bias), _float0(keydata)
@@ -251,8 +278,8 @@ _attn_drop.defvjp(_attn_drop_fwd, _attn_drop_bwd)
 
 
 def attention_prob_dropout(q, k, v, bias, rng, *, rate: float, scale: float,
-                           prec) -> jnp.ndarray:
+                           prec, layout: str = "bshd") -> jnp.ndarray:
     """Attention with prob dropout; bwd recomputes, saving only (q,k,v)."""
     keydata, impl = key_data_of(rng)
     return _attn_drop(q, k, v, bias, keydata, float(rate), float(scale),
-                      impl, prec)
+                      impl, prec, layout)

@@ -146,7 +146,25 @@ class FusedAdamW(NamedTuple):
         c1 = 1.0 - self.b1 ** count.astype(jnp.float32)
         c2 = 1.0 - self.b2 ** count.astype(jnp.float32)
 
+        # LDOT_ADAMW_KERNEL=1 on TPU: stream eligible leaves through the
+        # Pallas fused kernel (ops/adamw_pallas.py) — same math, one
+        # bandwidth-optimal pass; ineligible leaves fall through to jnp
+        import os as _os
+
+        from lightningdot_tpu.ops.adamw_pallas import (adamw_leaf_pallas,
+                                                       leaf_eligible)
+        from lightningdot_tpu.ops.backend import backend as _backend
+
+        use_kernel = (_os.environ.get("LDOT_ADAMW_KERNEL", "0") == "1"
+                      and _backend() == "pallas")
+        scalars = jnp.stack([
+            scale, jnp.asarray(lr, jnp.float32), c1, c2]).astype(jnp.float32)
+
         def leaf(g, m, v, p, decay):
+            if use_kernel and leaf_eligible(p, g, m, v):
+                wd = float(self.weight_decay) if decay else 0.0
+                return adamw_leaf_pallas(p, g, m, v, scalars, b1=self.b1,
+                                         b2=self.b2, eps=self.eps, wd=wd)
             mdt = m.dtype
             g = g * scale
             m2 = self.b1 * m.astype(jnp.float32) + (1.0 - self.b1) * g

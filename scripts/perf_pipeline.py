@@ -40,18 +40,38 @@ def main():
         return itm_fast_collate(items, cc)
 
     def sweep(tag, dataset, collate_fn):
+        # the consumer recycles each spent batch exactly like
+        # DevicePrefetcher does in the production loop (data/padding.py
+        # buffer pool — without it, rotating multi-MB batches through the
+        # loader thread page-faults every batch)
+        from collections import deque
+
+        from lightningdot_tpu.data.padding import recycle
+
         for workers in (1, 2, 4, 8):
             loader = DataLoader(dataset, batch_size=B, shuffle=False,
                                 collate_fn=collate_fn, num_workers=workers)
-            n = 0
-            it = iter(loader)
-            next(it)  # warm caches
-            t0 = time.perf_counter()
-            for _ in it:
-                n += 1
-            dt = (time.perf_counter() - t0) / max(n, 1)
-            print(f"{tag} workers={workers}: {dt*1e3:.1f} ms/batch "
-                  f"({B/dt:.0f} items/s)", flush=True)
+            # epoch 1 warms the buffer pool (on this VM, FIRST-touch guest
+            # pages fault at ~20 MB/s through the hypervisor — a cold 40 MB
+            # batch costs seconds; steady-state training reuses pooled
+            # pages), epoch 2 is the measured steady state
+            for measured in (False, True):
+                n = 0
+                it = iter(loader)
+                next(it)
+                spent = deque()
+                t0 = time.perf_counter()
+                for b in it:
+                    n += 1
+                    spent.append(b)
+                    if len(spent) > 1:
+                        recycle(spent.popleft())
+                while spent:
+                    recycle(spent.popleft())
+                dt = (time.perf_counter() - t0) / max(n, 1)
+                if measured:
+                    print(f"{tag} workers={workers}: {dt*1e3:.1f} ms/batch "
+                          f"({B/dt:.0f} items/s)", flush=True)
 
     sweep("itm", ds, collate)
 

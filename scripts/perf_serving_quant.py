@@ -1,8 +1,17 @@
-"""Serving latency across Retriever quantization configs (full-COCO scale).
+"""Serving latency/QPS across Retriever quantization configs x batch sizes
+(full-COCO scale).
 
 Same slope methodology as bench.py, driving each config's own fused
-Retriever program. Run on the TPU.
+Retriever program. Run on the TPU:
+
+    python scripts/perf_serving_quant.py [batch ...]   (default: 1 16 64 128)
+
+Round-2 finding: int8 anything loses at batch 1 (HBM-bound regime, the
+bf16 corpus scan dominates). VERDICT r2 item 3: the batch>=16 calls are
+compute-heavy, where the int8 MXU path may win — this sweep decides the
+QPS-optimal config per batch.
 """
+import sys
 import time
 
 import jax
@@ -15,7 +24,15 @@ from lightningdot_tpu.models.bi_encoder import BiEncoder
 from lightningdot_tpu.serving import Retriever
 from lightningdot_tpu.utils.runtime import setup_runtime
 
-N_CORPUS, TOP_K, QUERY_LEN, N_ITERS = 123_287, 100, 32, 100
+N_CORPUS, TOP_K, QUERY_LEN = 123_287, 100, 32
+
+CONFIGS = [
+    ({}, "bf16 weights + bf16 corpus"),
+    ({"quantization": "int8"}, "bf16 weights + int8 corpus"),
+    ({"weight_quantization": "int8"}, "int8 weights + bf16 corpus"),
+    ({"quantization": "int8", "weight_quantization": "int8"},
+     "int8 weights + int8 corpus"),
+]
 
 
 class Tok:
@@ -23,12 +40,15 @@ class Tok:
         return [101] + [106 + (hash(w) % 28000) for w in text.split()] + [102]
 
 
-def measure(retriever):
+def measure(retriever, batch: int = 1, n_iters: int = None) -> float:
+    """ms per fused-program call at the given query batch (slope method)."""
+    if n_iters is None:
+        n_iters = 100 if batch <= 16 else 40
     query_fn = retriever._query_fn(QUERY_LEN, TOP_K)
     enc_params = retriever._enc_params()
     scales = (retriever._scales if retriever._scales is not None
               else jnp.zeros((0,), jnp.float32))
-    mask = jnp.ones((1, QUERY_LEN), jnp.int32)
+    mask = jnp.ones((batch, QUERY_LEN), jnp.int32)
 
     @jax.jit
     def chained(ids, corpus, bias, n):
@@ -38,28 +58,32 @@ def measure(retriever):
         def body(c):
             i, ids, acc = c
             s, _ = query_fn(enc_params, ids, mask, corpus, bias, scales)
-            ids = (ids + s[0, 0].astype(jnp.int32)) % 28000 + 106
+            # serial dependency: next ids derive from this call's scores
+            ids = (ids + s[:, :1].astype(jnp.int32)) % 28000 + 106
             return i + 1, ids, acc + s[0, 0]
 
         return jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), ids, jnp.float32(0)))
 
     rng = np.random.default_rng(1)
-    ids0 = jnp.asarray(rng.integers(106, 28996, (1, QUERY_LEN)), jnp.int32)
+    ids0 = jnp.asarray(rng.integers(106, 28996, (batch, QUERY_LEN)),
+                       jnp.int32)
     args = (ids0, retriever._corpus, retriever._bias)
-    float(chained(*args, jnp.int32(1))[2])
+    float(chained(*args, jnp.int32(1))[2])  # compile + real sync
 
     def total(n):
         t0 = time.perf_counter()
         float(chained(*args, jnp.int32(n))[2])
         return time.perf_counter() - t0
 
-    base = min(total(2) for _ in range(3))
-    long = min(total(2 + N_ITERS) for _ in range(3))
-    return (long - base) / N_ITERS * 1000.0
+    # median of slope pairs (single relay hiccup corrupts only one pair)
+    slopes = sorted((total(2 + n_iters) - total(2)) / n_iters
+                    for _ in range(5))
+    return slopes[2] * 1000.0
 
 
 def main():
+    batches = [int(a) for a in sys.argv[1:]] or [1, 16, 64, 128]
     setup_runtime()
     rng = np.random.default_rng(0)
     cfg = EncoderConfig(vocab_size=28996, project_dim=0)
@@ -71,68 +95,14 @@ def main():
     corpus = rng.standard_normal((N_CORPUS, 768)).astype(np.float32)
     ids = [f"coco_{i:012}.npz" for i in range(N_CORPUS)]
 
-    for kw, tag in [({}, "bf16 weights + bf16 corpus"),
-                    ({"quantization": "int8"}, "bf16 weights + int8 corpus"),
-                    ({"weight_quantization": "int8"},
-                     "int8 weights + bf16 corpus"),
-                    ({"quantization": "int8",
-                      "weight_quantization": "int8"},
-                     "int8 weights + int8 corpus")]:
+    for kw, tag in CONFIGS:
         r = Retriever(model, params, Tok(), query_buckets=(QUERY_LEN,), **kw)
         r.set_corpus(ids, corpus)
-        ms = measure(r)
-        print(f"{tag}: {ms:.3f} ms p50", flush=True)
+        for b in batches:
+            ms = measure(r, batch=b)
+            print(f"{tag} | batch {b:4d}: {ms:8.3f} ms/call -> "
+                  f"{b / ms * 1000:7.0f} QPS", flush=True)
 
 
 if __name__ == "__main__":
     main()
-
-
-def batch_qps(batch=64):
-    """Batched-query throughput via the Retriever program."""
-    setup_runtime()
-    rng = np.random.default_rng(0)
-    cfg = EncoderConfig(vocab_size=28996, project_dim=0)
-    tower = enc.init_encoder_tower(jax.random.PRNGKey(0), cfg,
-                                   with_img=False)
-    tower = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), tower)
-    model = BiEncoder(cfg, cfg, compute_dtype=jnp.bfloat16)
-    r = Retriever(model, {"txt_model": tower, "img_model": {}}, Tok(),
-                  query_buckets=(QUERY_LEN,))
-    r.set_corpus([f"i{i}" for i in range(N_CORPUS)],
-                 rng.standard_normal((N_CORPUS, 768)).astype(np.float32))
-    query_fn = r._query_fn(QUERY_LEN, TOP_K)
-    enc_params = r._enc_params()
-    scales = jnp.zeros((0,), jnp.float32)
-    mask = jnp.ones((batch, QUERY_LEN), jnp.int32)
-
-    @jax.jit
-    def chained(ids, corpus, bias, n):
-        def cond(c):
-            return c[0] < n
-
-        def body(c):
-            i, ids, acc = c
-            s, _ = query_fn(enc_params, ids, mask, corpus, bias, scales)
-            ids = (ids + s[:, :1].astype(jnp.int32)) % 28000 + 106
-            return i + 1, ids, acc + s[0, 0]
-
-        return jax.lax.while_loop(cond, body,
-                                  (jnp.int32(0), ids, jnp.float32(0)))
-
-    ids0 = jnp.asarray(rng.integers(106, 28996, (batch, QUERY_LEN)),
-                       jnp.int32)
-    args = (ids0, r._corpus, r._bias)
-    float(chained(*args, jnp.int32(1))[2])
-
-    def total(n):
-        t0 = time.perf_counter()
-        float(chained(*args, jnp.int32(n))[2])
-        return time.perf_counter() - t0
-
-    n_iters = 60
-    base = min(total(2) for _ in range(3))
-    long = min(total(2 + n_iters) for _ in range(3))
-    dt = (long - base) / n_iters
-    print(f"batch-{batch} query: {dt*1e3:.2f} ms/call -> "
-          f"{batch/dt:.0f} QPS/chip", flush=True)

@@ -32,7 +32,8 @@ B, TXT_LEN, N_REGIONS = 96, 32, 64
 
 
 def make_tx():
-    """LDOT_OPT_STATE=bfloat16 measures the FusedAdamW bf16-state option."""
+    """LDOT_OPT_STATE=bfloat16 measures the FusedAdamW bf16-state option;
+    LDOT_ADAMW_KERNEL=1 measures the Pallas AdamW sweep (f32 state)."""
     import os
 
     if os.environ.get("LDOT_OPT_STATE") == "bfloat16":
@@ -40,6 +41,10 @@ def make_tx():
 
         return make_fused_adamw(1e-5, max_grad_norm=2.0,
                                 state_dtype=jnp.bfloat16)
+    if os.environ.get("LDOT_ADAMW_KERNEL") == "1":
+        from lightningdot_tpu.training.optim import make_fused_adamw
+
+        return make_fused_adamw(1e-5, max_grad_norm=2.0)
     return make_optimizer(1e-5, max_grad_norm=2.0)
 
 
@@ -146,13 +151,19 @@ def main():
         return
 
     if which == "pretrain":
-        # MLM pre-train step at BERT-base scale on synthetic data
+        # all four pre-train task steps + the mixed round-robin loop at
+        # BERT-base scale on synthetic data (VERDICT r2 item 2: only MLM
+        # had a device number)
         import tempfile
 
         from lightningdot_tpu.data.feat_db import DetectFeatDb
-        from lightningdot_tpu.data.pretrain import (MlmDataset,
+        from lightningdot_tpu.data.pretrain import (ItmPreDataset,
+                                                    MlmDataset, MrcDataset,
+                                                    MrfrDataset,
                                                     PretrainCollateConfig,
-                                                    mlm_collate)
+                                                    itm_pre_collate,
+                                                    mlm_collate, mrc_collate,
+                                                    mrfr_collate)
         from lightningdot_tpu.data.synth import make_synth_dataset
         from lightningdot_tpu.data.txt_db import TxtTokDb
         from lightningdot_tpu.models.bi_encoder import (
@@ -163,17 +174,30 @@ def main():
         root = tempfile.mkdtemp(prefix="pretrain_perf_")
         txt_dir, img_dir = make_synth_dataset(
             str(root), n_imgs=max(B, 128), txts_per_img=2, img_dim=2048,
-            min_bb=40, max_bb=64, max_txt_len=TXT_LEN, seed=0)
+            min_bb=40, max_bb=64, max_txt_len=TXT_LEN, seed=0,
+            with_soft_labels=True)
         txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
         img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=64, min_bb=40)
         ccfg = PretrainCollateConfig(txt_buckets=(TXT_LEN,),
                                      img_buckets=(N_REGIONS,),
                                      batch_pad=B, img_label_dim=1601)
-        ds = MlmDataset(txt_db, img_db, seed=0)
-        pbatch = mlm_collate([ds[i % len(ds)] for i in range(B)], ccfg)
-        pbatch = {k: v for k, v in pbatch.items()
-                  if k not in ("n_valid", "sample_size", "teacher")}
-        pbatch = jax.tree.map(jnp.asarray, pbatch)
+
+        def clean(b):
+            b = {k: v for k, v in b.items()
+                 if k not in ("n_valid", "sample_size", "teacher")}
+            return jax.tree.map(jnp.asarray, b)
+
+        TASKS = ("mlm", "mrfr", "mrckl", "itm")
+        dsets = {
+            "mlm": (MlmDataset(txt_db, img_db, seed=0), mlm_collate),
+            "mrfr": (MrfrDataset(0.15, txt_db, img_db, seed=0),
+                     mrfr_collate),
+            "mrckl": (MrcDataset(0.15, txt_db, img_db, seed=0), mrc_collate),
+            "itm": (ItmPreDataset(txt_db, img_db, 0.5, seed=0),
+                    itm_pre_collate),
+        }
+        batches = {t: clean(c([d[i % len(d)] for i in range(B)], ccfg))
+                   for t, (d, c) in dsets.items()}
 
         txt_cfg = EncoderConfig(vocab_size=28996)
         img_cfg = EncoderConfig(vocab_size=28996, img_dim=2048)
@@ -182,9 +206,12 @@ def main():
         params = model.init(jax.random.PRNGKey(0))
         tx = make_tx()
         init_state, step_for_task = make_pretrain_step(model, tx)
-        step = step_for_task("mlm")
+        state = init_state(params)
+        rng = dropout_key(0)
 
-        def run_chain(n):
+        def task_chain(task, n):
+            step = step_for_task(task)
+
             def run(state, batch, rng):
                 def body(s, i):
                     s2, m = step(s, batch, jax.random.fold_in(rng, i))
@@ -193,13 +220,39 @@ def main():
                 return losses[-1].astype(jnp.float32)
             return jax.jit(run)
 
-        state = init_state(params)
-        rng = dropout_key(0)
-        f4, f16 = run_chain(4), run_chain(16)
-        t4, _ = timed(f4, state, pbatch, rng)
-        t16, loss = timed(f16, state, pbatch, rng)
-        per = (t16 - t4) / 12
-        print(f"device-loop/pretrain-mlm B={B}: {per*1e3:.2f} ms/step "
+        for task in TASKS:
+            f4, f16 = task_chain(task, 4), task_chain(task, 16)
+            t4, _ = timed(f4, state, batches[task], rng)
+            t16, loss = timed(f16, state, batches[task], rng)
+            per = (t16 - t4) / 12
+            print(f"device-loop/pretrain-{task} B={B}: {per*1e3:.2f} "
+                  f"ms/step ({B/per:.0f} ex/s) [loss={loss:.3f}]",
+                  flush=True)
+
+        # mixed MetaLoader-style loop: each cycle runs all four task steps
+        # round-robin on the shared state (pretrain.py:390 hot loop; the
+        # reference redraws the task per accumulation window — round-robin
+        # covers every program transition)
+        def mixed_chain(n_cycles):
+            steps = {t: step_for_task(t) for t in TASKS}
+
+            def run(state, batches, rng):
+                def body(s, i):
+                    m = None
+                    for j, t in enumerate(TASKS):
+                        s, m = steps[t](s, batches[t],
+                                        jax.random.fold_in(rng,
+                                                           i * 4 + j))
+                    return s, m["loss"]
+                s, losses = lax.scan(body, state, jnp.arange(n_cycles))
+                return losses[-1].astype(jnp.float32)
+            return jax.jit(run)
+
+        f1, f4 = mixed_chain(1), mixed_chain(4)
+        t1, _ = timed(f1, state, batches, rng)
+        t4c, loss = timed(f4, state, batches, rng)
+        per = (t4c - t1) / (3 * len(TASKS))
+        print(f"device-loop/pretrain-mixed B={B}: {per*1e3:.2f} ms/step "
               f"({B/per:.0f} ex/s) [loss={loss:.3f}]", flush=True)
         return
 
@@ -208,8 +261,19 @@ def main():
         import os
 
         configs = [
+            ("baseline", {}),
+            ("bnsd", {"LDOT_ATTN_LAYOUT": "bnsd"}),
+            ("adamw-kernel", {"LDOT_ADAMW_KERNEL": "1"}),
+            ("bnsd+adamw", {"LDOT_ATTN_LAYOUT": "bnsd",
+                            "LDOT_ADAMW_KERNEL": "1"}),
+            # gated-off kernels, re-measured per round (verify skill step 6)
+            ("attn-kernel", {"LDOT_ATTN_KERNEL": "1"}),
+            ("ffn-dh1", {"LDOT_FFN_DH1": "1"}),
             ("bf16opt", {"LDOT_OPT_STATE": "bfloat16"}),
         ]
+        if os.environ.get("LDOT_SWEEP"):
+            names = os.environ["LDOT_SWEEP"].split(",")
+            configs = [c for c in configs if c[0] in names]
         model, params = build(12)
         for tag, env in configs:
             for k, v in env.items():

@@ -53,6 +53,14 @@ def main():
                         choices=list(EXPECTED))
     parser.add_argument("--compute_dtype", default="f32",
                         help="f32 recommended for rank-stable parity")
+    parser.add_argument("--teacher_ckpt", default=None,
+                        help="joint cross-encoder checkpoint (e.g. "
+                             "data/model/uniter-base.pt); when given, each "
+                             "config also runs the two-stage rerank sweep "
+                             "(reference rerank.py:256-292) and prints its "
+                             "recall dicts — the reference publishes no "
+                             "rerank numbers (README.md:145-148), so this "
+                             "part is report-only")
     args = parser.parse_args()
 
     from lightningdot_tpu.cli.eval_itm import main as eval_main
@@ -73,6 +81,11 @@ def main():
             "--compute_dtype", args.compute_dtype,
         ])
         got = results["test"]
+        # README.md:111-135 output format
+        print(f"image retrieval recall = "
+              f"{json.dumps(got['recall_txt'], default=float)}")
+        print(f"txt retrieval recall = "
+              f"{json.dumps(got['recall_img'], default=float)}")
         for direction in ("recall_txt", "recall_img"):
             for k, want in spec[direction].items():
                 have = got[direction][k]
@@ -82,10 +95,33 @@ def main():
                       f"(published {want:.4f})")
                 if not ok:
                     failures.append((name, direction, k, have, want))
+
+        if args.teacher_ckpt:
+            from lightningdot_tpu.cli.rerank import main as rerank_main
+
+            print(f"--- {name} + cross-encoder rerank ---")
+            rr = rerank_main([
+                "--txt_model_config", "bert-base-cased",
+                "--img_model_config", "./configs/img_base.json",
+                "--project_dim", "768",
+                "--biencoder_checkpoint",
+                f"{args.data_root}/{spec['ckpt']}",
+                "--teacher_checkpoint",
+                f"{args.data_root}/{args.teacher_ckpt}",
+                "--test_txt_db", f"{args.data_root}/{spec['txt_db']}",
+                "--test_img_db", f"{args.data_root}/{spec['img_db']}",
+                "--max_txt_len", "60",
+                "--valid_batch_size", "80", "--inf_minibatch_size", "400",
+                "--compute_dtype", args.compute_dtype,
+            ])
+            for key, rec in sorted(rr.items()):
+                print(f"  {key}: {json.dumps(rec, default=float)}")
+
     if failures:
         print(json.dumps({"failures": failures}, default=float))
         sys.exit(1)
-    print("all published recalls reproduced within 0.5 pt")
+    print("all published recalls reproduced within 0.5 pt"
+          + ("; rerank recalls reported above" if args.teacher_ckpt else ""))
 
 
 if __name__ == "__main__":

@@ -129,3 +129,48 @@ def test_loader_on_epoch_advances_mask_rng(tmp_path):
     assert epoch1 != epoch2  # fresh masks each epoch
     # same dataset order though (no shuffle): examples align positionally
     assert len(epoch1) == len(epoch2) == len(ds)
+
+
+def test_device_prefetcher_no_recycle_on_cpu():
+    """On the CPU backend jax may alias numpy buffers zero-copy, so the
+    DevicePrefetcher must NOT return batch arrays to the padding pool
+    (data/padding.py pool notes)."""
+    import numpy as np
+
+    from lightningdot_tpu.data import padding
+    from lightningdot_tpu.data.loader import DevicePrefetcher
+
+    batches = [{"img_feat": np.zeros((64, 64, 512), np.float16)}
+               for _ in range(4)]
+    with padding._POOL_LOCK:
+        padding._POOL.clear()
+    pf = DevicePrefetcher(batches, put=lambda b: b)
+    assert pf._recycle is None  # CPU backend
+    out = list(pf)
+    assert len(out) == 4
+    with padding._POOL_LOCK:
+        assert not any(padding._POOL.values())
+
+
+def test_padding_pool_recycle_and_reuse():
+    """recycle() pools only large base arrays, dedupes shared references,
+    and _pool_get returns a pooled buffer of the exact shape/dtype."""
+    import numpy as np
+
+    from lightningdot_tpu.data import padding
+
+    with padding._POOL_LOCK:
+        padding._POOL.clear()
+    big = np.ones((64, 64, 512), np.float16)   # 4 MB
+    small = np.ones((8, 8), np.float32)
+    view = big[:32]                            # has .base -> not pooled
+    batch = {"a": big, "b": small, "nested": {"alias": big, "v": view}}
+    padding.recycle(batch)
+    with padding._POOL_LOCK:
+        pooled = sum(len(v) for v in padding._POOL.values())
+    assert pooled == 1  # big once (alias deduped), small/view excluded
+    got = padding._pool_get(big.shape, np.float16)
+    assert got is big
+    # pool drained now
+    got2 = padding._pool_get(big.shape, np.float16)
+    assert got2 is not big

@@ -134,3 +134,43 @@ def test_fused_adamw_bf16_state_option():
     np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]),
                                atol=2e-4)
     assert s2.mu["w"].dtype == jnp.bfloat16
+
+
+def test_pallas_adamw_matches_jnp():
+    """ops/adamw_pallas kernel (interpret mode) == FusedAdamW jnp leaf math,
+    elementwise, including weight decay and clip scale."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightningdot_tpu.ops.adamw_pallas import adamw_leaf_pallas
+
+    rng = np.random.default_rng(3)
+    shape = (24, 128)  # multiple of 128 elements
+    p = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    m = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.random(shape) * 0.01, jnp.float32)
+    b1, b2, eps, wd = 0.9, 0.98, 1e-8, 0.01
+    scale, lr, c1, c2 = 0.7, 1e-3, 1.0 - b1 ** 3, 1.0 - b2 ** 3
+    scalars = jnp.asarray([scale, lr, c1, c2], jnp.float32)
+
+    p2, m2, v2 = adamw_leaf_pallas(p, g, m, v, scalars, b1=b1, b2=b2,
+                                   eps=eps, wd=wd, interpret=True)
+
+    gs = g * scale
+    m_ref = b1 * m + (1 - b1) * gs
+    v_ref = b2 * v + (1 - b2) * jnp.square(gs)
+    upd = (m_ref / c1) / (jnp.sqrt(v_ref / c2) + eps) + wd * p
+    p_ref = p - lr * upd
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m_ref), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref), rtol=1e-5, atol=1e-7)
+
+    # odd row count exercises the ragged last grid block
+    p3, m3, v3 = adamw_leaf_pallas(p[:17], g[:17], m[:17], v[:17], scalars,
+                                   b1=b1, b2=b2, eps=eps, wd=0.0,
+                                   interpret=True)
+    upd3 = (m_ref[:17] / c1) / (jnp.sqrt(v_ref[:17] / c2) + eps)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p[:17] - lr * upd3),
+                               rtol=1e-5, atol=1e-7)

@@ -121,3 +121,53 @@ def test_dense_heads_merge_match_reshape_form():
     want2 = _dense(p, ctx.reshape(b, s, h), jnp.float32)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_attention_layout_bnsd_matches_default():
+    """LDOT_ATTN_LAYOUT=bnsd (head-major projections) is numerically the
+    default path: same dropout mask draw (keep shape is [B,h,q,k] in both
+    layouts), f32-rounding-level agreement for outputs and grads."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.models import encoder as enc
+
+    cfg = EncoderConfig(vocab_size=300, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=16,
+                        hidden_dropout_prob=0.1,
+                        attention_probs_dropout_prob=0.1)
+    rng = np.random.default_rng(0)
+    params = enc.init_encoder_tower(jax.random.PRNGKey(0), cfg,
+                                    with_img=False)
+    ids = jnp.asarray(rng.integers(1, 300, (3, 10)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, (3, 10)) | np.eye(1, 10, dtype=int),
+                       jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(10, dtype=jnp.int32), (3, 10))
+    w = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+
+    def loss(p, key, det):
+        seq, _ = enc.encode_text(p, cfg, ids, mask, pos, deterministic=det,
+                                 rng=key, dtype=jnp.float32)
+        return jnp.sum(jnp.sin(seq * w))
+
+    key = jax.random.PRNGKey(5)
+    try:
+        for det in (True, False):
+            vals, grads = [], []
+            for lay in ("bshd", "bnsd"):
+                os.environ["LDOT_ATTN_LAYOUT"] = lay
+                l, g = jax.value_and_grad(loss)(params, key, det)
+                vals.append(float(l))
+                grads.append(g)
+            assert abs(vals[0] - vals[1]) < 1e-4, (det, vals)
+            for a, b in zip(jax.tree.leaves(grads[0]),
+                            jax.tree.leaves(grads[1])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop("LDOT_ATTN_LAYOUT", None)
