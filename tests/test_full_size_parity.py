@@ -170,8 +170,10 @@ def test_eval_pipeline_recalls_match_torch(tmp_path_factory, rng):
                 token_type_ids=torch.zeros(b, 1, dtype=torch.long))
             type1 = t_img.embeddings.token_type_embeddings(
                 torch.ones(b, nr, dtype=torch.long))
-            iemb = t_emb(torch.from_numpy(feat), torch.from_numpy(fpos),
-                         type1)
+            # the collate keeps stored-f16 features since round 3; the
+            # reference torch pipeline consumed f32 (exact upcast)
+            iemb = t_emb(torch.from_numpy(feat).float(),
+                         torch.from_numpy(fpos).float(), type1)
             hidden = torch.cat([temb, iemb], dim=1)
             ext = (1.0 - torch.from_numpy(mask).float()
                    )[:, None, None, :] * -10000.0
