@@ -48,8 +48,14 @@ def make_tx():
     return make_optimizer(1e-5, max_grad_norm=2.0)
 
 
-def chained_steps(model, params, batch, n_steps):
-    """One jitted program running n_steps train steps back to back."""
+def chained_steps(model, params, batch):
+    """One jitted program running n train steps back to back.
+
+    The chain is a ``while_loop`` with a DYNAMIC trip count, so the short
+    and long runs share ONE compiled program — remote compiles of the
+    full-unroll 12-layer step can run 20-30 min through the relay; the
+    old per-length ``scan`` form paid that twice per configuration.
+    """
     tx = make_tx()
     step = make_itm_train_step(model, tx)
     state = create_train_state(params, tx)
@@ -57,40 +63,42 @@ def chained_steps(model, params, batch, n_steps):
     if "valid_mask" in batch:
         mb["valid_mask"] = batch["valid_mask"]
 
-    def run(state, batch, rng):
-        def body(s, i):
+    def run(state, batch, rng, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, s, _ = c
             s2, m = step(s, batch, jax.random.fold_in(rng, i))
-            return s2, m["loss"]
-        s, losses = lax.scan(body, state, jnp.arange(n_steps))
-        return losses[-1].astype(jnp.float32)
+            return i + 1, s2, m["loss"]
+
+        _, _, loss = lax.while_loop(
+            cond, body, (jnp.int32(0), state, jnp.float32(0)))
+        return loss.astype(jnp.float32)
 
     # no donation: timed() invokes the program twice with the same state
     # (donated buffers cannot be reused). Donation only affects the program
     # boundary (one state copy, cancelled by the short-vs-long slope); the
-    # scan carry is aliased in place by XLA either way, so the slope equals
+    # loop carry is aliased in place by XLA either way, so the slope equals
     # the donated production step time.
     fn = jax.jit(run)
     return fn, state, mb
 
 
-def timed(fn, state, mb, rng):
-    out = fn(state, mb, rng)
-    float(out)  # compile + sync (block_until_ready lies through the relay)
+def timed(fn, state, mb, rng, n):
     t0 = time.perf_counter()
-    out = fn(state, mb, rng)
-    f = float(out)
+    out = fn(state, mb, rng, jnp.int32(n))
+    f = float(out)  # real sync (block_until_ready lies through the relay)
     return time.perf_counter() - t0, f
 
 
 def measure(model, params, batch, tag, n_short=4, n_long=16):
     rng = dropout_key(0)
-    fn_s, st_s, mb = chained_steps(model, params, batch, n_short)
-    print(f"{tag}: compiling/running short chain ({n_short})...", flush=True)
-    t_s, _ = timed(fn_s, st_s, mb, rng)
-    print(f"{tag}: short done ({t_s*1e3:.1f} ms); long chain ({n_long})...",
-          flush=True)
-    fn_l, st_l, mb = chained_steps(model, params, batch, n_long)
-    t_l, loss = timed(fn_l, st_l, mb, rng)
+    fn, st, mb = chained_steps(model, params, batch)
+    print(f"{tag}: compiling...", flush=True)
+    timed(fn, st, mb, rng, 1)  # compile + warm
+    t_s, _ = timed(fn, st, mb, rng, n_short)
+    t_l, loss = timed(fn, st, mb, rng, n_long)
     per_step = (t_l - t_s) / (n_long - n_short)
     print(f"{tag}: short({n_short})={t_s*1e3:.1f} ms, "
           f"long({n_long})={t_l*1e3:.1f} ms -> {per_step*1e3:.2f} ms/step "
@@ -209,21 +217,34 @@ def main():
         state = init_state(params)
         rng = dropout_key(0)
 
-        def task_chain(task, n):
-            step = step_for_task(task)
+        def dyn_chain(step_one):
+            """Dynamic-trip-count chain: one compile serves all lengths."""
 
-            def run(state, batch, rng):
-                def body(s, i):
-                    s2, m = step(s, batch, jax.random.fold_in(rng, i))
-                    return s2, m["loss"]
-                s, losses = lax.scan(body, state, jnp.arange(n))
-                return losses[-1].astype(jnp.float32)
+            def run(state, batch, rng, n):
+                def cond(c):
+                    return c[0] < n
+
+                def body(c):
+                    i, s, _ = c
+                    s2, loss = step_one(s, batch, rng, i)
+                    return i + 1, s2, loss
+
+                _, _, loss = lax.while_loop(
+                    cond, body, (jnp.int32(0), state, jnp.float32(0)))
+                return loss
             return jax.jit(run)
 
         for task in TASKS:
-            f4, f16 = task_chain(task, 4), task_chain(task, 16)
-            t4, _ = timed(f4, state, batches[task], rng)
-            t16, loss = timed(f16, state, batches[task], rng)
+            step = step_for_task(task)
+
+            def one(s, b, rng, i, step=step):
+                s2, m = step(s, b, jax.random.fold_in(rng, i))
+                return s2, m["loss"].astype(jnp.float32)
+
+            fn = dyn_chain(one)
+            timed(fn, state, batches[task], rng, 1)  # compile
+            t4, _ = timed(fn, state, batches[task], rng, 4)
+            t16, loss = timed(fn, state, batches[task], rng, 16)
             per = (t16 - t4) / 12
             print(f"device-loop/pretrain-{task} B={B}: {per*1e3:.2f} "
                   f"ms/step ({B/per:.0f} ex/s) [loss={loss:.3f}]",
@@ -233,24 +254,19 @@ def main():
         # round-robin on the shared state (pretrain.py:390 hot loop; the
         # reference redraws the task per accumulation window — round-robin
         # covers every program transition)
-        def mixed_chain(n_cycles):
-            steps = {t: step_for_task(t) for t in TASKS}
+        steps = {t: step_for_task(t) for t in TASKS}
 
-            def run(state, batches, rng):
-                def body(s, i):
-                    m = None
-                    for j, t in enumerate(TASKS):
-                        s, m = steps[t](s, batches[t],
-                                        jax.random.fold_in(rng,
-                                                           i * 4 + j))
-                    return s, m["loss"]
-                s, losses = lax.scan(body, state, jnp.arange(n_cycles))
-                return losses[-1].astype(jnp.float32)
-            return jax.jit(run)
+        def one_cycle(s, bs, rng, i):
+            loss = jnp.float32(0)
+            for j, t in enumerate(TASKS):
+                s, m = steps[t](s, bs[t], jax.random.fold_in(rng, i * 4 + j))
+                loss = m["loss"].astype(jnp.float32)
+            return s, loss
 
-        f1, f4 = mixed_chain(1), mixed_chain(4)
-        t1, _ = timed(f1, state, batches, rng)
-        t4c, loss = timed(f4, state, batches, rng)
+        fn = dyn_chain(one_cycle)
+        timed(fn, state, batches, rng, 1)
+        t1, _ = timed(fn, state, batches, rng, 1)
+        t4c, loss = timed(fn, state, batches, rng, 4)
         per = (t4c - t1) / (3 * len(TASKS))
         print(f"device-loop/pretrain-mixed B={B}: {per*1e3:.2f} ms/step "
               f"({B/per:.0f} ex/s) [loss={loss:.3f}]", flush=True)
