@@ -135,17 +135,24 @@ class Retriever:
     def __init__(self, model: BiEncoder, params, tokenizer,
                  query_buckets: Sequence[int] = QUERY_LEN_BUCKETS,
                  mesh=None, quantization: Optional[str] = None,
-                 weight_quantization: Optional[str] = None):
+                 weight_quantization: Optional[str] = None,
+                 topk: str = "exact", topk_recall: float = 0.95):
         """``quantization='int8'`` stores the corpus as per-vector symmetric
         int8 (halves HBM traffic and memory vs bf16; scores accumulate in
         int32 on the MXU's 8-bit path, then rescale).
         ``weight_quantization='int8'`` runs the text tower on int8 weights
-        (2.4x faster batch-1 encode; embedding cosine 0.9998 vs bf16)."""
+        (2.4x faster batch-1 encode; embedding cosine 0.9998 vs bf16).
+        ``topk='approx'`` selects candidates with the TPU-native
+        ``jax.lax.approx_max_k`` (expected recall >= ``topk_recall``,
+        final exact top-k over the aggregated candidates so results stay
+        sorted) instead of the exact full-corpus ``lax.top_k``."""
         if quantization not in (None, "int8"):
             raise ValueError(f"unknown quantization {quantization!r}")
         if weight_quantization not in (None, "int8"):
             raise ValueError(
                 f"unknown weight_quantization {weight_quantization!r}")
+        if topk not in ("exact", "approx"):
+            raise ValueError(f"unknown topk {topk!r}")
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -153,6 +160,8 @@ class Retriever:
         self.mesh = mesh               # shard the corpus over a dp mesh
         self.quantization = quantization
         self.weight_quantization = weight_quantization
+        self.topk = topk
+        self.topk_recall = topk_recall
         self._qtower = (quantize_text_tower(params["txt_model"],
                                             model.txt_cfg)
                         if weight_quantization == "int8" else None)
@@ -290,7 +299,14 @@ class Retriever:
                 else:
                     scores = jnp.dot(vec.astype(corpus.dtype), corpus.T,
                                      preferred_element_type=jnp.float32)
-                return jax.lax.top_k(scores + bias[None, :], k)
+                biased = scores + bias[None, :]
+                if self.topk == "approx":
+                    # TPU-native approximate max-k (aggregate_to_topk runs
+                    # a final exact top-k over the per-block candidates, so
+                    # output is sorted); expected recall >= topk_recall
+                    return jax.lax.approx_max_k(
+                        biased, k, recall_target=self.topk_recall)
+                return jax.lax.top_k(biased, k)
 
             fn = jax.jit(run)
             self._fns[key] = fn

@@ -11,6 +11,7 @@ bf16 corpus scan dominates). VERDICT r2 item 3: the batch>=16 calls are
 compute-heavy, where the int8 MXU path may win — this sweep decides the
 QPS-optimal config per batch.
 """
+import os
 import sys
 import time
 
@@ -33,6 +34,12 @@ CONFIGS = [
     ({"quantization": "int8", "weight_quantization": "int8"},
      "int8 weights + int8 corpus"),
 ]
+if os.environ.get("LDOT_SERVE_TOPK") == "approx":
+    CONFIGS = [(dict(kw, topk="approx", topk_recall=0.95),
+                tag + " + approx topk") for kw, tag in CONFIGS]
+if os.environ.get("LDOT_SERVE_CONFIGS"):
+    wanted = os.environ["LDOT_SERVE_CONFIGS"].split(",")
+    CONFIGS = [c for c in CONFIGS if any(w in c[1] for w in wanted)]
 
 
 class Tok:

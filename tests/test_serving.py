@@ -284,3 +284,44 @@ def test_int8_corpus_overlap_on_encoder_embeddings(rng):
                        for a, e in zip(approx, exact)])
     # correlated embeddings keep MORE rank fidelity than Gaussians
     assert overlap > 0.9, f"top-10 overlap {overlap:.3f}"
+
+
+def test_approx_topk_retriever_matches_exact_on_cpu():
+    """Retriever(topk='approx'): on CPU approx_max_k reduces to exact, so
+    rankings must match the exact retriever; exercises the full query
+    path with the option on."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.models.bi_encoder import BiEncoder
+    from lightningdot_tpu.serving import Retriever
+
+    cfg = EncoderConfig(vocab_size=500, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, img_dim=16)
+    model = BiEncoder(cfg, cfg, compute_dtype=jnp.float32)
+    import jax
+    params = model.init(jax.random.PRNGKey(0))
+
+    class Tok:
+        def encode(self, text):
+            return [101] + [(hash(w) % 400) + 10 for w in text.split()] + [102]
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((300, 32)).astype(np.float32)
+    ids = [f"img{i}" for i in range(300)]
+    kw = dict(query_buckets=(16,))
+    r_exact = Retriever(model, params, Tok(), **kw)
+    r_approx = Retriever(model, params, Tok(), topk="approx",
+                         topk_recall=0.99, **kw)
+    r_exact.set_corpus(ids, corpus)
+    r_approx.set_corpus(ids, corpus)
+    for q in ("a dog on the beach", "red car"):
+        a = r_exact.retrieve_query(q, top=10)
+        b = r_approx.retrieve_query(q, top=10)
+        assert [x[0] for x in a] == [x[0] for x in b]
+
+    import pytest
+    with pytest.raises(ValueError):
+        Retriever(model, params, Tok(), topk="nope")
