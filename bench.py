@@ -174,6 +174,38 @@ def main():
                     for _ in range(5))
     p50_ms = slopes[2] * 1000.0
 
+    # batched-query throughput on the same corpus/program family
+    mask64 = jnp.ones((64, QUERY_LEN), jnp.int32)
+
+    @jax.jit
+    def chained64(ids, corpus, bias, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, ids, acc = c
+            top_s, _ = query_fn(enc_params, ids, mask64, corpus, bias,
+                                scales)
+            ids = (ids + top_s[:, :1].astype(jnp.int32)) % 28000 + 106
+            return i + 1, ids, acc + top_s[0, 0]
+
+        return jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), ids, jnp.float32(0)))
+
+    ids64 = jnp.asarray(rng.integers(106, 28996, (64, QUERY_LEN)),
+                        dtype=jnp.int32)
+    args64 = (ids64, retriever._corpus, retriever._bias)
+    float(chained64(*args64, jnp.int32(1))[2])
+
+    def total64(n):
+        t0 = time.perf_counter()
+        out = chained64(*args64, jnp.int32(n))
+        float(out[2])
+        return time.perf_counter() - t0
+
+    slopes64 = sorted((total64(2 + 40) - total64(2)) / 40 for _ in range(5))
+    qps64 = 64 / slopes64[2]
+
     tok_ms = _real_tokenizer_ms()
 
     print(json.dumps({
@@ -185,6 +217,7 @@ def main():
         # retrieve_query too); end_to_end = tokenize + device program
         "tokenize_host_ms": round(tok_ms, 3),
         "end_to_end_ms": round(p50_ms + tok_ms, 3),
+        "batch64_qps_per_chip": round(qps64),
     }))
 
 
