@@ -206,6 +206,45 @@ def main():
     slopes64 = sorted((total64(2 + 40) - total64(2)) / 40 for _ in range(5))
     qps64 = 64 / slopes64[2]
 
+    # approx-top-k throughput variant (jax.lax.approx_max_k; the exact
+    # lax.top_k over [B,123k] dominates batched calls — PERF.md sweep).
+    # Same corpus, same tower; recall>=0.95 candidate retrieval.
+    retriever_a = Retriever(model, {"txt_model": tower, "img_model": {}},
+                            tokenizer=_FixedTokenizer(),
+                            query_buckets=(QUERY_LEN,), topk="approx",
+                            topk_recall=0.95)
+    retriever_a._corpus = retriever._corpus  # reuse the uploaded corpus
+    retriever_a._bias = retriever._bias
+    retriever_a._ids = retriever._ids
+    query_fn_a = retriever_a._query_fn(QUERY_LEN, TOP_K)
+
+    @jax.jit
+    def chained64a(ids, corpus, bias, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, ids, acc = c
+            top_s, _ = query_fn_a(enc_params, ids, mask64, corpus, bias,
+                                  scales)
+            ids = (ids + top_s[:, :1].astype(jnp.int32)) % 28000 + 106
+            return i + 1, ids, acc + top_s[0, 0]
+
+        return jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), ids, jnp.float32(0)))
+
+    float(chained64a(*args64, jnp.int32(1))[2])
+
+    def total64a(n):
+        t0 = time.perf_counter()
+        out = chained64a(*args64, jnp.int32(n))
+        float(out[2])
+        return time.perf_counter() - t0
+
+    slopes64a = sorted((total64a(2 + 40) - total64a(2)) / 40
+                       for _ in range(5))
+    qps64a = 64 / slopes64a[2]
+
     tok_ms = _real_tokenizer_ms()
 
     print(json.dumps({
@@ -218,6 +257,7 @@ def main():
         "tokenize_host_ms": round(tok_ms, 3),
         "end_to_end_ms": round(p50_ms + tok_ms, 3),
         "batch64_qps_per_chip": round(qps64),
+        "batch64_qps_approx_topk": round(qps64a),
     }))
 
 
