@@ -186,8 +186,10 @@ def main():
             with_soft_labels=True)
         txt_db = TxtTokDb(txt_dir, max_txt_len=-1)
         img_db = DetectFeatDb(img_dir, conf_th=0.2, max_bb=64, min_bb=40)
+        # img bucket covers CLS + regions (const.IMG_LEN_BUCKETS semantics),
+        # so N_REGIONS+1 keeps all 64 regions unmasked for MRFR/MRC
         ccfg = PretrainCollateConfig(txt_buckets=(TXT_LEN,),
-                                     img_buckets=(N_REGIONS,),
+                                     img_buckets=(N_REGIONS + 1,),
                                      batch_pad=B, img_label_dim=1601)
 
         def clean(b):
