@@ -163,15 +163,19 @@ class MrcDataset(_PairDataset):
     def __getitem__(self, i):
         ex = self.example(i)
         input_ids = self.txt_db.combine_inputs(ex["input_ids"])
-        dump = self.img_db.get_dump(ex["img_fname"])
-        feat = dump["features"].astype(np.float32)
-        bb = dump["norm_bb"].astype(np.float32)
+        # stored dtypes end to end (get_dump's astype-to-f32 of the f16
+        # features cost ~40 ms/batch on the host; the model casts on
+        # device and the MRC targets are the soft labels, not features)
+        nbb = self.img_db.name2nbb[ex["img_fname"]]
+        dump = self.img_db._load(ex["img_fname"])
+        feat = dump["features"][:nbb]
+        bb = dump["norm_bb"][:nbb].astype(np.float32, copy=False)
         pos = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
-        soft_labels = dump["soft_labels"].astype(np.float32)
-        nbb = feat.shape[0]
+        soft_labels = dump["soft_labels"][:nbb].astype(np.float32,
+                                                       copy=False)
         img_mask = _get_img_mask(self.mask_prob, nbb, self.item_rng(i))
         return {"input_ids": input_ids, "img_feat": feat,
-                "img_pos_feat": pos.astype(np.float32), "num_bb": nbb,
+                "img_pos_feat": pos, "num_bb": nbb,
                 "img_mask": img_mask, "soft_labels": soft_labels}
 
 
@@ -326,6 +330,8 @@ def mlm_collate(items: List[dict],
 def _region_mask_arrays(items, cfg, R, with_soft_labels: bool, n_valid: int):
     """Static-size masked-region tensors; positions are +1 for the image
     tower's [CLS] slot (dvl identity-gather layout, mrm.py:65)."""
+    from lightningdot_tpu.data.padding import _pool_get
+
     n, M = len(items), cfg.max_masked_regions
     positions = np.zeros((n, M), np.int32)
     weights = np.zeros((n, M), np.float32)
@@ -334,7 +340,10 @@ def _region_mask_arrays(items, cfg, R, with_soft_labels: bool, n_valid: int):
         tgt_dim = items[0]["soft_labels"].shape[-1]
     else:
         tgt_dim = items[0]["img_feat"].shape[-1]
-    feat_targets = np.zeros((n, M, tgt_dim), np.float32)
+    # multi-MB target tensor comes from the recycling pool (cold pages are
+    # catastrophically slow on some hosts — data/padding.py pool notes)
+    feat_targets = _pool_get((n, M, tgt_dim), np.float32)
+    feat_targets[:] = 0
     for i, it in enumerate(items):
         mask = it["img_mask"]
         img_masks[i, :len(mask)] = mask
@@ -359,9 +368,12 @@ def mrfr_collate(items: List[dict],
     # embedding (model.py:262-266) — reproduce both
     positions, weights, img_masks, feat_targets = _region_mask_arrays(
         items, cfg, R, with_soft_labels=False, n_valid=n_valid)
-    # keep the (possibly f16) feature dtype: int32 * f16 would promote to f64
-    imgs["img_feat"] = imgs["img_feat"] * (
-        1 - img_masks[:, :, None]).astype(imgs["img_feat"].dtype)
+    # zero the masked region rows IN PLACE (the pad_feats output is
+    # exclusively ours). Identical to the reference's multiply by
+    # (1 - mask) since mask is {0,1} — and numpy f16 arithmetic is
+    # software-emulated (~125 ms/batch for the broadcast multiply!),
+    # while boolean-index assignment is a memset.
+    imgs["img_feat"][img_masks.astype(bool)] = 0
     imgs["img_masks"] = img_masks
     batch = {"txts": txts, "imgs": imgs, "caps": None,
              "img_masked_positions": positions,
@@ -387,8 +399,7 @@ def mrc_collate(items: List[dict],
     txts, imgs, L, R = _two_tower_base(items, cfg)
     positions, weights, img_masks, label_targets = _region_mask_arrays(
         items, cfg, R, with_soft_labels=True, n_valid=n_valid)
-    imgs["img_feat"] = imgs["img_feat"] * (
-        1 - img_masks[:, :, None]).astype(imgs["img_feat"].dtype)
+    imgs["img_feat"][img_masks.astype(bool)] = 0
     imgs["img_masks"] = img_masks
     batch = {"txts": txts, "imgs": imgs, "caps": None,
              "img_masked_positions": positions,

@@ -75,15 +75,30 @@ def main():
 
     sweep("itm", ds, collate)
 
-    # pre-train MLM pipeline (per-item mask rngs -> multi-worker safe)
-    from lightningdot_tpu.data.pretrain import (MlmDataset,
+    # pre-train pipelines (per-item mask rngs -> multi-worker safe)
+    from lightningdot_tpu.data.pretrain import (ItmPreDataset, MlmDataset,
+                                                MrcDataset, MrfrDataset,
                                                 PretrainCollateConfig,
-                                                mlm_collate)
+                                                itm_pre_collate, mlm_collate,
+                                                mrc_collate, mrfr_collate)
 
-    mlm_ds = MlmDataset(txt_db, img_db, seed=0)
-    pcfg = PretrainCollateConfig(txt_buckets=(32,), img_buckets=(64,),
+    pcfg = PretrainCollateConfig(txt_buckets=(32,), img_buckets=(65,),
                                  batch_pad=B, img_label_dim=1601)
-    sweep("mlm", mlm_ds, lambda items: mlm_collate(items, pcfg))
+    sweep("mlm", MlmDataset(txt_db, img_db, seed=0),
+          lambda items: mlm_collate(items, pcfg))
+    sweep("mrfr", MrfrDataset(0.15, txt_db, img_db, seed=0),
+          lambda items: mrfr_collate(items, pcfg))
+    sweep("itm_pre", ItmPreDataset(txt_db, img_db, 0.5, seed=0),
+          lambda items: itm_pre_collate(items, pcfg))
+    # MRC needs soft labels in the feature DB — a separate (small) synth
+    mrc_root = tempfile.mkdtemp(prefix="pipe_mrc_")
+    mrc_txt, mrc_img = make_synth_dataset(
+        mrc_root, n_imgs=min(n_imgs, 400), txts_per_img=2, img_dim=2048,
+        min_bb=40, max_bb=64, max_txt_len=32, seed=0, with_soft_labels=True)
+    mrc_db = ImageDbGroup(conf_th=0.2, max_bb=64, min_bb=40, num_bb=36)[
+        mrc_img]
+    sweep("mrc", MrcDataset(0.15, TxtTokDb(mrc_txt, 32), mrc_db, seed=0),
+          lambda items: mrc_collate(items, pcfg))
 
 
 if __name__ == "__main__":
