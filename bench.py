@@ -103,6 +103,11 @@ def main():
     from lightningdot_tpu.models import encoder as enc
     from lightningdot_tpu.models.bi_encoder import BiEncoder
     from lightningdot_tpu.serving import Retriever
+    from lightningdot_tpu.utils.runtime import setup_runtime
+
+    # persistent XLA compile cache: relay compiles run 30 s - 2 min each
+    # (20+ min on bad days); caching makes bench re-runs start hot.
+    setup_runtime()
 
     rng = np.random.default_rng(0)
     cfg = EncoderConfig(vocab_size=28996, project_dim=0)

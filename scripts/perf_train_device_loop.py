@@ -274,6 +274,57 @@ def main():
               f"({B/per:.0f} ex/s) [loss={loss:.3f}]", flush=True)
         return
 
+    if which == "vqa":
+        # VQA fine-tune step at BERT-base scale (the one driver without a
+        # device number): question tower + image tower + intersection head
+        # over 3,129 answers, instance-level BCE (train_vqa.py:188).
+        import numpy as np
+
+        from lightningdot_tpu.models.vqa import BiEncoderForVQA
+        from lightningdot_tpu.training.itm_step import create_train_state
+        from lightningdot_tpu.training.vqa_step import make_vqa_train_step
+
+        txt_cfg = EncoderConfig(vocab_size=28996)
+        img_cfg = EncoderConfig(vocab_size=28996, img_dim=2048)
+        model = BiEncoderForVQA(
+            BiEncoder(txt_cfg, img_cfg, compute_dtype=jnp.bfloat16),
+            hidden_size=txt_cfg.out_size, num_answer=3129)
+        params = model.init(jax.random.PRNGKey(0))
+        np_rng = np.random.default_rng(0)
+        t = np_rng.random((B, 3129)).astype(np.float32)
+        vbatch = dict(batch, targets=jnp.asarray(t * (t > 0.999)),
+                      valid_mask=jnp.ones((B,), jnp.float32))
+        tx = make_tx()
+        step = make_vqa_train_step(model, tx)
+        state = create_train_state(params, tx)
+        rng = dropout_key(0)
+
+        def one(s, b, rng, i):
+            s2, m = step(s, b, jax.random.fold_in(rng, i))
+            return s2, m["loss"].astype(jnp.float32)
+
+        def run(state, batch, rng, n):
+            def cond(c):
+                return c[0] < n
+
+            def body(c):
+                i, s, _ = c
+                s2, loss = one(s, batch, rng, i)
+                return i + 1, s2, loss
+
+            _, _, loss = lax.while_loop(
+                cond, body, (jnp.int32(0), state, jnp.float32(0)))
+            return loss
+
+        fn = jax.jit(run)
+        timed(fn, state, vbatch, rng, 1)  # compile
+        t4, _ = timed(fn, state, vbatch, rng, 4)
+        t16, loss = timed(fn, state, vbatch, rng, 16)
+        per = (t16 - t4) / 12
+        print(f"device-loop/vqa B={B}: {per*1e3:.2f} ms/step "
+              f"({B/per:.0f} ex/s) [loss={loss:.3f}]", flush=True)
+        return
+
     if which == "sweep":
         # one process, several env configs (env is read at trace time)
         import os
