@@ -296,17 +296,12 @@ def main(cmds=None):
 
     LOGGER.info("start pre-training: %d steps, tasks=%s",
                 args.num_train_steps, list(train_loaders))
-    from collections import deque
-
-    from lightningdot_tpu.data import padding as _padding
+    from lightningdot_tpu.data.padding import Recycler
     from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
 
-    # recycle spent host batches into the padding buffer pool with one step
-    # of slack (same contract as DevicePrefetcher; TPU-only — on CPU jax
-    # may alias numpy buffers zero-copy)
-    _recycle = (_padding.recycle if jax.default_backend() != "cpu"
-                else None)
-    _spent: deque = deque()
+    # recycle spent host batches into the padding buffer pool once the step
+    # that consumed them reports ready (see Recycler docstring)
+    recycler = Recycler()
 
     for name, batch in meta_loader:
         task = name.split("_")[0]
@@ -320,10 +315,7 @@ def main(cmds=None):
                        if k not in ("n_valid", "sample_size")}
         state, metrics = step_for_task(task)(
             state, model_batch, jax.random.fold_in(rng, micro_step))
-        if _recycle is not None:
-            _spent.append(batch)
-            if len(_spent) > 1:
-                _recycle(_spent.popleft())
+        recycler.push(batch, ready=metrics["loss"])
         micro_step += 1
         # keep the loss on device — host pulls are expensive; drained at the
         # logging interval only
@@ -353,6 +345,7 @@ def main(cmds=None):
                            optimizer=state.opt_state)
         if global_step >= args.num_train_steps:
             break
+    recycler.flush()
 
     if last_validated != global_step:  # avoid a duplicate final sweep
         saver.save(state.params, global_step, optimizer=state.opt_state)

@@ -210,12 +210,16 @@ def main(cmds=None):
             return b
 
         from lightningdot_tpu.data.loader import DevicePrefetcher
+        from lightningdot_tpu.data.padding import Recycler
+
+        recycler = Recycler()
         for step, batch in enumerate(
                 DevicePrefetcher(train_dataloader, put=prepare)):
             state, metrics = train_step(state, batch,
                                         jax.random.fold_in(rng, global_step))
             global_step += 1
             n_ex += batch["n_valid"]
+            recycler.push(batch, ready=metrics["loss"])
             if (step + 1) % args.log_result_step == 0:
                 if pending is not None:
                     loss = float(pending["loss"])
@@ -233,6 +237,7 @@ def main(cmds=None):
                     TB_LOGGER.log_metric("loss_train", loss)
                     TB_LOGGER.log_metric("lr", lr)
                 pending = metrics
+        recycler.flush()
 
         # eval and save (train_itm.py:313-349)
         result = eval_model_on_dataloader(

@@ -294,49 +294,30 @@ class DataLoader:
 
 
 class DevicePrefetcher:
-    """Wrap a host-batch iterable; device_put one batch ahead.
+    """Wrap a host-batch iterable; run ``put`` one batch ahead.
 
-    After the consumer's loop body has run for a batch (i.e. the training
-    step consumed it and dispatched its transfers), the batch's large host
-    arrays are recycled into the padding buffer pool — rotating multi-MB
-    allocations through the loader thread otherwise page-fault every batch
-    (see data/padding.py pool notes). Recycling is TPU-only: the CPU
-    backend may alias numpy buffers zero-copy into jax arrays.
+    Pure prefetch. Buffer-pool recycling of spent batches lives in the
+    consumer loops via ``padding.Recycler`` — only the consumer holds the
+    step output whose ``is_ready()`` proves the batch's transfers drained
+    (see the Recycler docstring for why dispatch order is not enough).
     """
 
     def __init__(self, loader, put: Callable[[Any], Any]):
         self.loader = loader
         self.put = put
-        import jax
-
-        from lightningdot_tpu.data import padding as _padding
-        self._recycle = (_padding.recycle
-                         if jax.default_backend() != "cpu" else None)
 
     def __len__(self):
         return len(self.loader)
 
     def __iter__(self):
-        from collections import deque
-
         it = iter(self.loader)
         try:
             nxt = self.put(next(it))
         except StopIteration:
             return
-        # recycle with one extra step of slack: batch i goes back to the
-        # pool only when batch i+2 is requested, i.e. after step i+1 has
-        # dispatched — by then the (async) transfers of step i must have
-        # drained, because device execution of step i precedes dispatch
-        # acknowledgement of step i+1
-        spent: deque = deque()
         for host_batch in it:
             cur, nxt = nxt, self.put(host_batch)
             yield cur
-            if self._recycle is not None:
-                spent.append(cur)
-                if len(spent) > 1:
-                    self._recycle(spent.popleft())
         yield nxt
 
 

@@ -73,6 +73,67 @@ def recycle(tree) -> None:
     walk(tree)
 
 
+class Recycler:
+    """Recycle spent host batches once their consuming step provably ran.
+
+    Dispatch order alone is NOT a safe-reuse contract: PJRT may hold a
+    host buffer zero-copy (immutable-until-transfer-completes semantics)
+    after the jitted call returns, so a pooled buffer overwritten by a
+    collate worker could corrupt an in-flight transfer. ``push(batch,
+    ready=step_output)`` therefore returns a batch to the pool only when
+    (a) at least ``slack`` newer batches were pushed after it AND (b) its
+    step output reports ``is_ready()`` — an output can only be ready once
+    the device executed the step, which requires the inputs to have been
+    transferred. (Measured: ``is_ready`` transitions meaningfully even
+    through the axon relay, unlike ``block_until_ready``.)
+
+    Batches whose readiness never materializes are dropped un-pooled after
+    ``max_pending`` further pushes (plain GC free — never corrupts, merely
+    loses the page-reuse win). No-op on the CPU backend, where jax may
+    alias numpy buffers zero-copy into live arrays.
+    """
+
+    def __init__(self, slack: int = 1, max_pending: int = 8,
+                 enabled: bool | None = None):
+        if enabled is None:
+            import jax
+
+            enabled = jax.default_backend() != "cpu"
+        self.enabled = enabled
+        self.slack = slack
+        self.max_pending = max_pending
+        from collections import deque
+
+        self._q: "deque" = deque()
+
+    @staticmethod
+    def _ready(ref) -> bool:
+        return ref is None or bool(ref.is_ready())
+
+    def push(self, host_batch, ready=None) -> None:
+        """Queue a spent batch; ``ready`` is a device output of the step
+        that consumed it (e.g. ``metrics['loss']``)."""
+        if not self.enabled:
+            return
+        self._q.append((host_batch, ready))
+        while len(self._q) > self.slack:
+            batch, ref = self._q[0]
+            if self._ready(ref):
+                self._q.popleft()
+                recycle(batch)
+            elif len(self._q) > self.slack + self.max_pending:
+                self._q.popleft()        # not provably drained: plain free
+            else:
+                break
+
+    def flush(self) -> None:
+        """End of loop: pool what is provably drained, free the rest."""
+        while self._q:
+            batch, ref = self._q.popleft()
+            if self._ready(ref):
+                recycle(batch)
+
+
 def bucket_len(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -101,8 +162,9 @@ def pad_feats(feats: List[np.ndarray], length: int,
     """B x [T_i, D] -> [B, length, D] zero-padded (data.py:270-283).
 
     Keeps the source dtype when uniform: f16 region features stay f16 (the
-    model casts to its compute dtype on device anyway, and every stored-f16
-    value is exactly representable in f32/bf16, so this is value-preserving).
+    model casts to its compute dtype on device anyway; f16->f32 is exact,
+    and f16->bf16 rounds identically to the old f16->f32->bf16 path since
+    the f32 intermediate is exact — numerically indistinguishable).
     The old always-f32 batch paid a ~45 ms/batch host conversion at the
     B=96 x 64 x 2048 pre-train shape — the entire MLM collate budget.
     Mixed input dtypes promote to f32; pass ``dtype`` to force one.

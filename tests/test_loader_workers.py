@@ -131,25 +131,75 @@ def test_loader_on_epoch_advances_mask_rng(tmp_path):
     assert len(epoch1) == len(epoch2) == len(ds)
 
 
-def test_device_prefetcher_no_recycle_on_cpu():
+def test_recycler_disabled_on_cpu():
     """On the CPU backend jax may alias numpy buffers zero-copy, so the
-    DevicePrefetcher must NOT return batch arrays to the padding pool
+    Recycler must NOT return batch arrays to the padding pool
     (data/padding.py pool notes)."""
     import numpy as np
 
     from lightningdot_tpu.data import padding
-    from lightningdot_tpu.data.loader import DevicePrefetcher
 
-    batches = [{"img_feat": np.zeros((64, 64, 512), np.float16)}
-               for _ in range(4)]
     with padding._POOL_LOCK:
         padding._POOL.clear()
-    pf = DevicePrefetcher(batches, put=lambda b: b)
-    assert pf._recycle is None  # CPU backend
-    out = list(pf)
-    assert len(out) == 4
+    rec = padding.Recycler()  # backend is cpu under the test harness
+    assert not rec.enabled
+    for _ in range(4):
+        rec.push({"img_feat": np.zeros((64, 64, 512), np.float16)})
+    rec.flush()
     with padding._POOL_LOCK:
         assert not any(padding._POOL.values())
+
+
+def test_recycler_ready_gating():
+    """Recycler pools a batch only past the slack window AND once its
+    step-output ref reports is_ready(); never-ready batches are dropped
+    un-pooled after max_pending pushes."""
+    import numpy as np
+
+    from lightningdot_tpu.data import padding
+
+    class Ref:
+        def __init__(self):
+            self.ready = False
+
+        def is_ready(self):
+            return self.ready
+
+    def big():
+        return np.zeros((64, 64, 512), np.float16)  # 4 MB, poolable
+
+    with padding._POOL_LOCK:
+        padding._POOL.clear()
+
+    rec = padding.Recycler(slack=1, max_pending=2, enabled=True)
+    refs = [Ref() for _ in range(6)]
+    rec.push({"a": big()}, ready=refs[0])
+    # within slack: nothing pooled even though nothing is ready yet
+    with padding._POOL_LOCK:
+        assert sum(len(v) for v in padding._POOL.values()) == 0
+    rec.push({"a": big()}, ready=refs[1])
+    # past slack but refs[0] not ready -> still nothing pooled
+    with padding._POOL_LOCK:
+        assert sum(len(v) for v in padding._POOL.values()) == 0
+    refs[0].ready = True
+    rec.push({"a": big()}, ready=refs[2])
+    # refs[0] became ready -> its batch pooled
+    with padding._POOL_LOCK:
+        assert sum(len(v) for v in padding._POOL.values()) == 1
+    # refs[1] never becomes ready: after max_pending more pushes it is
+    # dropped (plain free), not pooled
+    rec.push({"a": big()}, ready=refs[3])
+    rec.push({"a": big()}, ready=refs[4])
+    rec.push({"a": big()}, ready=refs[5])
+    with padding._POOL_LOCK:
+        assert sum(len(v) for v in padding._POOL.values()) == 1
+    # flush pools everything whose ref is (now) ready
+    for r in refs:
+        r.ready = True
+    rec.flush()
+    with padding._POOL_LOCK:
+        assert sum(len(v) for v in padding._POOL.values()) >= 4
+    assert not rec._q
 
 
 def test_padding_pool_recycle_and_reuse():
