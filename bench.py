@@ -181,35 +181,41 @@ def main():
 
     # batched-query throughput on the same corpus/program family
     mask64 = jnp.ones((64, QUERY_LEN), jnp.int32)
-
-    @jax.jit
-    def chained64(ids, corpus, bias, n):
-        def cond(c):
-            return c[0] < n
-
-        def body(c):
-            i, ids, acc = c
-            top_s, _ = query_fn(enc_params, ids, mask64, corpus, bias,
-                                scales)
-            ids = (ids + top_s[:, :1].astype(jnp.int32)) % 28000 + 106
-            return i + 1, ids, acc + top_s[0, 0]
-
-        return jax.lax.while_loop(cond, body,
-                                  (jnp.int32(0), ids, jnp.float32(0)))
-
     ids64 = jnp.asarray(rng.integers(106, 28996, (64, QUERY_LEN)),
                         dtype=jnp.int32)
     args64 = (ids64, retriever._corpus, retriever._bias)
-    float(chained64(*args64, jnp.int32(1))[2])
 
-    def total64(n):
-        t0 = time.perf_counter()
-        out = chained64(*args64, jnp.int32(n))
-        float(out[2])
-        return time.perf_counter() - t0
+    def batch64_qps(qfn):
+        """Median-of-5 slope QPS for one batched query_fn (same while_loop
+        + host-pull methodology as the single-query block above)."""
 
-    slopes64 = sorted((total64(2 + 40) - total64(2)) / 40 for _ in range(5))
-    qps64 = 64 / slopes64[2]
+        @jax.jit
+        def chained(ids, corpus, bias, n):
+            def cond(c):
+                return c[0] < n
+
+            def body(c):
+                i, ids, acc = c
+                top_s, _ = qfn(enc_params, ids, mask64, corpus, bias,
+                               scales)
+                ids = (ids + top_s[:, :1].astype(jnp.int32)) % 28000 + 106
+                return i + 1, ids, acc + top_s[0, 0]
+
+            return jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), ids, jnp.float32(0)))
+
+        float(chained(*args64, jnp.int32(1))[2])  # compile + real sync
+
+        def total(n):
+            t0 = time.perf_counter()
+            out = chained(*args64, jnp.int32(n))
+            float(out[2])
+            return time.perf_counter() - t0
+
+        slopes = sorted((total(2 + 40) - total(2)) / 40 for _ in range(5))
+        return 64 / slopes[2]
+
+    qps64 = batch64_qps(query_fn)
 
     # approx-top-k throughput variant (jax.lax.approx_max_k; the exact
     # lax.top_k over [B,123k] dominates batched calls — PERF.md sweep).
@@ -221,34 +227,7 @@ def main():
     retriever_a._corpus = retriever._corpus  # reuse the uploaded corpus
     retriever_a._bias = retriever._bias
     retriever_a._ids = retriever._ids
-    query_fn_a = retriever_a._query_fn(QUERY_LEN, TOP_K)
-
-    @jax.jit
-    def chained64a(ids, corpus, bias, n):
-        def cond(c):
-            return c[0] < n
-
-        def body(c):
-            i, ids, acc = c
-            top_s, _ = query_fn_a(enc_params, ids, mask64, corpus, bias,
-                                  scales)
-            ids = (ids + top_s[:, :1].astype(jnp.int32)) % 28000 + 106
-            return i + 1, ids, acc + top_s[0, 0]
-
-        return jax.lax.while_loop(cond, body,
-                                  (jnp.int32(0), ids, jnp.float32(0)))
-
-    float(chained64a(*args64, jnp.int32(1))[2])
-
-    def total64a(n):
-        t0 = time.perf_counter()
-        out = chained64a(*args64, jnp.int32(n))
-        float(out[2])
-        return time.perf_counter() - t0
-
-    slopes64a = sorted((total64a(2 + 40) - total64a(2)) / 40
-                       for _ in range(5))
-    qps64a = 64 / slopes64a[2]
+    qps64a = batch64_qps(retriever_a._query_fn(QUERY_LEN, TOP_K))
 
     tok_ms = _real_tokenizer_ms()
 

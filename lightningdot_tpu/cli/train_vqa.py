@@ -101,21 +101,33 @@ def main(cmds=None):
     total_updates = updates_per_epoch * max(args.num_train_epochs, 1)
     lr_schedule = schedule_linear(args.learning_rate,
                                   int(0.1 * total_updates), total_updates)
-    if args.vqa_lr_mul != 1.0:
-        import optax
+    import optax
 
+    from lightningdot_tpu.training.optim import clip_by_global_norm_with_norm
+
+    if args.vqa_lr_mul != 1.0:
         head_schedule = schedule_linear(args.learning_rate * args.vqa_lr_mul,
                                         int(0.1 * total_updates),
                                         total_updates)
         tx = optax.multi_transform(
-            {"body": make_optimizer(lr_schedule,
-                                    max_grad_norm=args.max_grad_norm),
-             "head": make_optimizer(head_schedule,
-                                    max_grad_norm=args.max_grad_norm)},
+            {"body": make_optimizer(lr_schedule),
+             "head": make_optimizer(head_schedule)},
             lambda p: {k: ("head" if k == "vqa_output" else "body")
                        for k in p})
     else:
-        tx = make_optimizer(lr_schedule, max_grad_norm=args.max_grad_norm)
+        tx = make_optimizer(lr_schedule)
+    if args.max_grad_norm and args.max_grad_norm > 0:
+        # ONE model-wide global-norm clip ahead of the (possibly grouped)
+        # optimizer — the reference clips over all params at once
+        # (train_vqa.py:243 clip_grad_norm_(model.parameters())), not per
+        # LR group
+        tx = optax.chain(clip_by_global_norm_with_norm(args.max_grad_norm),
+                         tx)
+    if args.gradient_accumulation_steps > 1:
+        # apply every k micro-batches (train_vqa.py:236-245), keeping the
+        # schedule's per-update step count consistent with total_updates
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=args.gradient_accumulation_steps)
 
     train_step = jit_train_step(make_vqa_train_step(model, tx), mesh=None,
                                 donate=True)
@@ -130,12 +142,16 @@ def main(cmds=None):
         t0 = time.time()
         n_ex = 0
         pending = None
+        from lightningdot_tpu.data.padding import Recycler
+
+        recycler = Recycler()
         for step, batch in enumerate(
                 DevicePrefetcher(train_loader, put=lambda b: b)):
             state, metrics = train_step(state, batch,
                                         jax.random.fold_in(rng, global_step))
             global_step += 1
             n_ex += batch["n_valid"]
+            recycler.push(batch, ready=metrics["loss"])
             if (step + 1) % args.log_result_step == 0:
                 if pending is not None:
                     loss = float(pending["loss"])
@@ -148,6 +164,7 @@ def main(cmds=None):
                     TB_LOGGER.set_step(global_step)
                     TB_LOGGER.log_metric("loss_train", loss)
                 pending = metrics
+        recycler.flush()
 
         val = evaluate_vqa(model, state.params, val_loader)
         LOGGER.info("epoch %d: val loss=%.4f acc=%.4f", epoch, val["loss"],

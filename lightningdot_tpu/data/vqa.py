@@ -63,7 +63,9 @@ class VqaDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         id_ = self.ids[i]
-        ex = self.txt_db[id_]
+        return self._item(id_, self.txt_db[id_])
+
+    def _item(self, id_: str, ex: Dict[str, Any]) -> Dict[str, Any]:
         feat, pos, nbb = self.img_db.get_img_feat(ex["img_fname"])
         return {
             "qid": id_,
@@ -132,8 +134,9 @@ class VqaEvalDataset(VqaDataset):
     (dvl/data/vqa.py:93-111)."""
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
-        item = super().__getitem__(i)
-        ex = self.txt_db[self.ids[i]]
+        id_ = self.ids[i]
+        ex = self.txt_db[id_]  # single DB read shared with _item
+        item = self._item(id_, ex)
         item["has_target"] = "target" in ex
         return item
 

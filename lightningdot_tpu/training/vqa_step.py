@@ -57,7 +57,12 @@ def vqa_score(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def make_vqa_train_step(model: BiEncoderForVQA,
                         tx: optax.GradientTransformation) -> Callable:
-    """(state, batch, rng) -> (state, metrics); grad + clip + AdamW."""
+    """(state, batch, rng) -> (state, metrics); grad + clip + AdamW.
+
+    ``tx`` may be an optax transformation or a ``FusedAdamW`` (single-pass
+    clip+AdamW, training/optim.py) — same branch contract as
+    itm_step.make_itm_train_step.
+    """
 
     def step(state: TrainState, batch, rng):
         def loss_fn(p):
@@ -65,18 +70,47 @@ def make_vqa_train_step(model: BiEncoderForVQA,
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        from lightningdot_tpu.training.optim import (FusedAdamW,
+                                                     grad_norm_from_opt_state)
+
+        if isinstance(tx, FusedAdamW):
+            params, opt_state = tx.apply(grads, state.opt_state,
+                                         state.params)
+            metrics["grad_norm"] = opt_state.grad_norm
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = grad_norm_from_opt_state(opt_state)
+            metrics["grad_norm"] = (gnorm if gnorm is not None
+                                    else optax.global_norm(grads))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
 
 
+def _eval_score_fn(model: BiEncoderForVQA) -> Callable:
+    """Jitted deterministic scorer, cached per model so repeated
+    evaluate_vqa calls (once per epoch) hit jax.jit's trace cache instead
+    of re-tracing a fresh lambda each time."""
+    fn = _EVAL_FNS.get(id(model))
+    if fn is None:
+        fn = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False,
+                                              deterministic=True))
+        _EVAL_FNS[id(model)] = (fn, model)  # keep model alive: id is only
+        # unique while the object is
+    else:
+        fn = fn[0]
+    return fn
+
+
+_EVAL_FNS: Dict[int, Tuple[Callable, BiEncoderForVQA]] = {}
+
+
 def evaluate_vqa(model: BiEncoderForVQA, params, dataloader) -> Dict:
     """Validation sweep (train_vqa.py:268-302): per-example loss, VQA
     score, and the qid -> argmax-answer dict."""
-    score_fn = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False,
-                                                deterministic=True))
+    score_fn = _eval_score_fn(model)
     tot_loss = tot_score = n_ex = 0.0
     results: Dict[str, int] = {}
     for batch in dataloader:

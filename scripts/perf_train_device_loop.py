@@ -48,20 +48,21 @@ def make_tx():
     return make_optimizer(1e-5, max_grad_norm=2.0)
 
 
-def chained_steps(model, params, batch):
-    """One jitted program running n train steps back to back.
+def dyn_chain(step_one):
+    """Dynamic-trip-count chain of ``step_one(state, batch, rng, i) ->
+    (state, loss)``: one compiled program serves all lengths.
 
-    The chain is a ``while_loop`` with a DYNAMIC trip count, so the short
-    and long runs share ONE compiled program — remote compiles of the
-    full-unroll 12-layer step can run 20-30 min through the relay; the
-    old per-length ``scan`` form paid that twice per configuration.
+    A ``while_loop`` with a DYNAMIC trip count, so the short and long
+    slope runs share ONE compile — remote compiles of the full-unroll
+    12-layer step can run 20-30 min through the relay; per-length ``scan``
+    forms paid that twice per configuration.
+
+    No donation: timed() invokes the program twice with the same state
+    (donated buffers cannot be reused). Donation only affects the program
+    boundary (one state copy, cancelled by the short-vs-long slope); the
+    loop carry is aliased in place by XLA either way, so the slope equals
+    the donated production step time.
     """
-    tx = make_tx()
-    step = make_itm_train_step(model, tx)
-    state = create_train_state(params, tx)
-    mb = {"txts": batch["txts"], "imgs": batch["imgs"], "caps": batch["caps"]}
-    if "valid_mask" in batch:
-        mb["valid_mask"] = batch["valid_mask"]
 
     def run(state, batch, rng, n):
         def cond(c):
@@ -69,20 +70,30 @@ def chained_steps(model, params, batch):
 
         def body(c):
             i, s, _ = c
-            s2, m = step(s, batch, jax.random.fold_in(rng, i))
-            return i + 1, s2, m["loss"]
+            s2, loss = step_one(s, batch, rng, i)
+            return i + 1, s2, loss
 
         _, _, loss = lax.while_loop(
             cond, body, (jnp.int32(0), state, jnp.float32(0)))
         return loss.astype(jnp.float32)
 
-    # no donation: timed() invokes the program twice with the same state
-    # (donated buffers cannot be reused). Donation only affects the program
-    # boundary (one state copy, cancelled by the short-vs-long slope); the
-    # loop carry is aliased in place by XLA either way, so the slope equals
-    # the donated production step time.
-    fn = jax.jit(run)
-    return fn, state, mb
+    return jax.jit(run)
+
+
+def chained_steps(model, params, batch):
+    """One jitted program running n ITM train steps back to back."""
+    tx = make_tx()
+    step = make_itm_train_step(model, tx)
+    state = create_train_state(params, tx)
+    mb = {"txts": batch["txts"], "imgs": batch["imgs"], "caps": batch["caps"]}
+    if "valid_mask" in batch:
+        mb["valid_mask"] = batch["valid_mask"]
+
+    def one(s, b, rng, i):
+        s2, m = step(s, b, jax.random.fold_in(rng, i))
+        return s2, m["loss"].astype(jnp.float32)
+
+    return dyn_chain(one), state, mb
 
 
 def timed(fn, state, mb, rng, n):
@@ -219,23 +230,6 @@ def main():
         state = init_state(params)
         rng = dropout_key(0)
 
-        def dyn_chain(step_one):
-            """Dynamic-trip-count chain: one compile serves all lengths."""
-
-            def run(state, batch, rng, n):
-                def cond(c):
-                    return c[0] < n
-
-                def body(c):
-                    i, s, _ = c
-                    s2, loss = step_one(s, batch, rng, i)
-                    return i + 1, s2, loss
-
-                _, _, loss = lax.while_loop(
-                    cond, body, (jnp.int32(0), state, jnp.float32(0)))
-                return loss
-            return jax.jit(run)
-
         for task in TASKS:
             step = step_for_task(task)
 
@@ -303,20 +297,7 @@ def main():
             s2, m = step(s, b, jax.random.fold_in(rng, i))
             return s2, m["loss"].astype(jnp.float32)
 
-        def run(state, batch, rng, n):
-            def cond(c):
-                return c[0] < n
-
-            def body(c):
-                i, s, _ = c
-                s2, loss = one(s, batch, rng, i)
-                return i + 1, s2, loss
-
-            _, _, loss = lax.while_loop(
-                cond, body, (jnp.int32(0), state, jnp.float32(0)))
-            return loss
-
-        fn = jax.jit(run)
+        fn = dyn_chain(one)
         timed(fn, state, vbatch, rng, 1)  # compile
         t4, _ = timed(fn, state, vbatch, rng, 4)
         t16, loss = timed(fn, state, vbatch, rng, 16)

@@ -128,3 +128,43 @@ def test_train_vqa_overfit(synth, tmp_path_factory):
     import os
     assert os.path.exists(os.path.join(out_dir, "vqa.best.npz"))
     assert os.path.exists(os.path.join(out_dir, "vqa.last.json"))
+
+
+def test_vqa_step_fused_adamw(dbs):
+    """make_vqa_train_step must take the FusedAdamW apply branch (it has
+    no .update) — the perf path runs the VQA step under LDOT_OPT_STATE/
+    LDOT_ADAMW_KERNEL env flags (scripts/perf_train_device_loop.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.models.bi_encoder import BiEncoder
+    from lightningdot_tpu.models.vqa import BiEncoderForVQA
+    from lightningdot_tpu.training.itm_step import create_train_state
+    from lightningdot_tpu.training.optim import make_fused_adamw
+    from lightningdot_tpu.training.vqa_step import make_vqa_train_step
+
+    txt_db, img_db = dbs
+    ds = VqaDataset(N_ANSWERS, txt_db, img_db)
+    batch = vqa_collate([ds[i] for i in range(4)])
+    cfg = EncoderConfig(vocab_size=28996, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=4,
+                        intermediate_size=64, max_position_embeddings=64,
+                        img_dim=32)
+    model = BiEncoderForVQA(
+        bi_encoder=BiEncoder(cfg, cfg, compute_dtype=jnp.float32),
+        hidden_size=cfg.out_size, num_answer=N_ANSWERS)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_fused_adamw(1e-3, max_grad_norm=2.0)
+    step = make_vqa_train_step(model, tx)
+    state = create_train_state(params, tx)
+    mb = {"txts": batch["txts"], "imgs": batch["imgs"], "caps": None,
+          "targets": jnp.asarray(batch["targets"]),
+          "valid_mask": jnp.asarray(batch["valid_mask"])}
+    state2, metrics = jax.jit(step)(state, mb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # params actually moved
+    l0 = jax.tree.leaves(state.params)[0]
+    l1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
