@@ -40,13 +40,12 @@ def main():
         return itm_fast_collate(items, cc)
 
     def sweep(tag, dataset, collate_fn):
-        # the consumer recycles each spent batch exactly like
-        # DevicePrefetcher does in the production loop (data/padding.py
-        # buffer pool — without it, rotating multi-MB batches through the
-        # loader thread page-faults every batch)
-        from collections import deque
-
-        from lightningdot_tpu.data.padding import recycle
+        # the consumer recycles each spent batch exactly like the
+        # production loops do via padding.Recycler (buffer pool — without
+        # it, rotating multi-MB batches through the loader thread
+        # page-faults every batch). Host-only harness: there is no device
+        # step output, so pushes carry no ready ref (recycled at slack).
+        from lightningdot_tpu.data.padding import Recycler
 
         for workers in (1, 2, 4, 8):
             loader = DataLoader(dataset, batch_size=B, shuffle=False,
@@ -59,15 +58,12 @@ def main():
                 n = 0
                 it = iter(loader)
                 next(it)
-                spent = deque()
+                rec = Recycler(enabled=True)
                 t0 = time.perf_counter()
                 for b in it:
                     n += 1
-                    spent.append(b)
-                    if len(spent) > 1:
-                        recycle(spent.popleft())
-                while spent:
-                    recycle(spent.popleft())
+                    rec.push(b)
+                rec.flush()
                 dt = (time.perf_counter() - t0) / max(n, 1)
                 if measured:
                     print(f"{tag} workers={workers}: {dt*1e3:.1f} ms/batch "

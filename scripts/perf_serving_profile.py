@@ -1,7 +1,10 @@
 """xprof trace of the batched serving call — where do 11.8 ms at batch 64
 go? (Roofline says ~2.2 ms: tower ~1.8 ms FLOPs + 0.23 ms corpus scan.)
 
-Usage: python scripts/perf_serving_profile.py [batch] [outdir]
+Usage: python scripts/perf_serving_profile.py [batch] [outdir] [config]
+where config is a comma-set of {int8corpus,int8weights,approx} — e.g.
+``64 /tmp/t int8corpus,int8weights,approx`` traces the 19.8k-QPS
+headline configuration (PERF.md approx-top-k table).
 """
 import glob
 import sys
@@ -27,6 +30,7 @@ class Tok:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/serve_trace"
+    conf = set((sys.argv[3] if len(sys.argv) > 3 else "").split(","))
     setup_runtime()
     rng = np.random.default_rng(0)
     cfg = EncoderConfig(vocab_size=28996, project_dim=0)
@@ -35,12 +39,17 @@ def main():
     tower = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), tower)
     model = BiEncoder(cfg, cfg, compute_dtype=jnp.bfloat16)
     r = Retriever(model, {"txt_model": tower, "img_model": {}}, Tok(),
-                  query_buckets=(QUERY_LEN,))
+                  query_buckets=(QUERY_LEN,),
+                  quantization="int8" if "int8corpus" in conf else None,
+                  weight_quantization=("int8" if "int8weights" in conf
+                                       else None),
+                  topk="approx" if "approx" in conf else "exact")
     r.set_corpus([f"i{i}" for i in range(N_CORPUS)],
                  rng.standard_normal((N_CORPUS, 768)).astype(np.float32))
     query_fn = r._query_fn(QUERY_LEN, TOP_K)
     enc_params = r._enc_params()
-    scales = jnp.zeros((0,), jnp.float32)
+    scales = (r._scales if r._scales is not None
+              else jnp.zeros((0,), jnp.float32))
     mask = jnp.ones((batch, QUERY_LEN), jnp.int32)
     ids = jnp.asarray(rng.integers(106, 28996, (batch, QUERY_LEN)),
                       jnp.int32)

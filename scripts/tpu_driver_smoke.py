@@ -19,7 +19,8 @@ def main():
     root = tempfile.mkdtemp(prefix="tpu_smoke_")
     txt_dir, img_dir = make_synth_dataset(root, n_imgs=12, txts_per_img=2,
                                           img_dim=64, min_bb=5, max_bb=10,
-                                          max_txt_len=20, seed=1)
+                                          max_txt_len=20, seed=1,
+                                          vqa_answers=12)
     cfg_path = os.path.join(root, "small.json")
     with open(cfg_path, "w") as f:
         json.dump({"vocab_size": 28996, "hidden_size": 64,
@@ -106,6 +107,24 @@ def main():
     assert np.isfinite(res4["final_loss"]), res4
     print("train_teacher self-mining TPU smoke ok:", res4["final_loss"],
           flush=True)
+
+    # 5. VQA fine-tune (lr_mul multi_transform + global clip + MultiSteps)
+    from lightningdot_tpu.cli.train_vqa import main as vqa_main
+
+    out5 = os.path.join(root, "vqa")
+    res5, _ = vqa_main([
+        "--txt_model_config", cfg_path, "--img_model_config", cfg_path,
+        "--train_txt_dbs", txt_dir, "--train_img_dbs", img_dir,
+        "--val_txt_db", txt_dir, "--val_img_db", img_dir,
+        "--num_answers", "12", "--train_batch_size", "8",
+        "--valid_batch_size", "8", "--num_train_epochs", "1",
+        "--learning_rate", "1e-3", "--vqa_lr_mul", "10.0",
+        "--gradient_accumulation_steps", "2",
+        "--max_bb", "10", "--min_bb", "5", "--num_bb", "8",
+        "--max_txt_len", "20", "--compute_dtype", "bf16",
+        "--output_dir", out5, "--log_result_step", "2"])
+    assert np.isfinite(res5["last_val"]["loss"]), res5
+    print("train_vqa TPU smoke ok:", res5["best_val_acc"], flush=True)
 
     print("ALL TPU DRIVER SMOKES PASSED", flush=True)
 
