@@ -48,9 +48,29 @@ def _attention_math(q, k, v, bias, scale, layout="bshd"):
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(_ATTN_EQS[layout][1], probs.astype(v.dtype), v,
+    if q.dtype == jnp.float32:
+        # f32 parity path: reference softmax-then-matmul (layer.py:92-100)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(_ATTN_EQS[layout][1], probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32, precision=prec)
+        return out.astype(v.dtype)
+    # bf16 compute: deferred-normalization softmax. Writing normalized f32
+    # probabilities costs two VMEM-write-bound passes over [B,H,S,S]
+    # (measured 0.49 ms of a 3.28 ms batch-64 serving call); instead write
+    # un-normalized exp(s-m) once in bf16, keep the f32 row denominator,
+    # and divide AFTER the AV matmul — identical math (softmax is linear
+    # in the numerator), the bf16 rounding merely moves from the
+    # normalized probs to the un-normalized ones.
+    m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+    ex = jnp.exp(scores - m)                      # f32, fused with denom
+    denom = jnp.sum(ex, axis=-1)                  # f32 [B,H,Sq]/[B,N,Sq]
+    e = ex.astype(v.dtype)                        # one bf16 write
+    out = jnp.einsum(_ATTN_EQS[layout][1], e, v,
                      preferred_element_type=jnp.float32, precision=prec)
+    if layout == "bshd":                          # out [B,Sq,H,D]
+        out = out / denom.transpose(0, 2, 1)[..., None]
+    else:                                         # out [B,N,Sq,D]
+        out = out / denom[..., None]
     return out.astype(v.dtype)
 
 

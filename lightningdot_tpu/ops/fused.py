@@ -195,6 +195,12 @@ def _attn_probs(q, k, bias, scale, prec, layout="bshd"):
 
 
 def _attn_core(q, k, v, bias, keep, rate, scale, prec, layout="bshd"):
+    # Normalized softmax-then-matmul (layer.py:92-100). The
+    # deferred-normalization form that pays on the eval/serving path
+    # (ops/attention.py::_attention_math) was MEASURED SLOWER here:
+    # 64.3 vs 62.1 ms/step at B=96 — the quotient form's backward adds
+    # f32 [B,S,H,D] intermediates that outweigh the forward's saved
+    # normalize pass (PERF.md "Negative results").
     probs = _attn_probs(q, k, bias, scale, prec, layout).astype(v.dtype)
     probs = _apply_keep(probs, keep, rate)
     out = jnp.einsum(_ATTN_EQS[layout][1], probs, v,
