@@ -48,8 +48,12 @@ def _attention_math(q, k, v, bias, scale, layout="bshd"):
                         preferred_element_type=jnp.float32,
                         precision=prec) * scale
     scores = scores + bias.astype(jnp.float32)
-    if q.dtype == jnp.float32:
-        # f32 parity path: reference softmax-then-matmul (layer.py:92-100)
+    import os as _os
+
+    if (q.dtype == jnp.float32
+            or _os.environ.get("LDOT_DEFER_SOFTMAX", "1") == "0"):
+        # f32 parity path: reference softmax-then-matmul (layer.py:92-100).
+        # LDOT_DEFER_SOFTMAX=0 forces it at bf16 too (measurement gate).
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(_ATTN_EQS[layout][1], probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32, precision=prec)
