@@ -21,9 +21,11 @@ import numpy as np
 # pages, and first-touch faults run the collate 7-30x slower than the pure
 # copy (measured on the 1-core dev VM: 3 -> 21-110 ms for one [96,64,2048]
 # f16 pad). Recycling the arrays through a small pool keeps the pages hot.
-# ``DevicePrefetcher`` recycles batches after the training step has
-# dispatched (TPU backend only — on CPU jax may alias numpy buffers
-# zero-copy, so recycling would corrupt live data).
+# The consumer loops recycle spent batches via ``Recycler``, which gates
+# each return on the consuming step's output ``is_ready()`` — dispatch
+# order alone is NOT a transfer-drain contract (TPU backend only — on CPU
+# jax may alias numpy buffers zero-copy, so recycling would corrupt live
+# data).
 # ---------------------------------------------------------------------------
 
 _POOL: dict = {}
@@ -87,10 +89,10 @@ class Recycler:
     transferred. (Measured: ``is_ready`` transitions meaningfully even
     through the axon relay, unlike ``block_until_ready``.)
 
-    Batches whose readiness never materializes are dropped un-pooled after
-    ``max_pending`` further pushes (plain GC free — never corrupts, merely
-    loses the page-reuse win). No-op on the CPU backend, where jax may
-    alias numpy buffers zero-copy into live arrays.
+    Batches whose readiness never materializes are dropped un-pooled once
+    ``slack + max_pending`` newer batches sit behind them (plain GC free —
+    never corrupts, merely loses the page-reuse win). No-op on the CPU
+    backend, where jax may alias numpy buffers zero-copy into live arrays.
     """
 
     def __init__(self, slack: int = 1, max_pending: int = 8,

@@ -38,9 +38,14 @@ def _precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _attention_math(q, k, v, bias, scale, layout="bshd"):
+def _attention_math(q, k, v, bias, scale, layout="bshd", defer=None):
     # q,k,v: [B, S, H, D] ('bshd') or [B, H, S, D] ('bnsd'); bias
-    # broadcastable to [B, H, S, S] (same semantic axes either way)
+    # broadcastable to [B, H, S, S] (same semantic axes either way).
+    # ``defer``: None = auto (deferred softmax at bf16 unless
+    # LDOT_DEFER_SOFTMAX=0 — read at TRACE time like the other LDOT_*
+    # gates, so set it before the first jit of a program); the backward
+    # recompute passes defer=False explicitly (the quotient form's vjp
+    # was measured slower, PERF.md "Negative results").
     from lightningdot_tpu.ops.fused import _ATTN_EQS
 
     prec = _precision(q.dtype)
@@ -50,10 +55,11 @@ def _attention_math(q, k, v, bias, scale, layout="bshd"):
     scores = scores + bias.astype(jnp.float32)
     import os as _os
 
-    if (q.dtype == jnp.float32
-            or _os.environ.get("LDOT_DEFER_SOFTMAX", "1") == "0"):
-        # f32 parity path: reference softmax-then-matmul (layer.py:92-100).
-        # LDOT_DEFER_SOFTMAX=0 forces it at bf16 too (measurement gate).
+    if defer is None:
+        defer = (q.dtype != jnp.float32
+                 and _os.environ.get("LDOT_DEFER_SOFTMAX", "1") != "0")
+    if q.dtype == jnp.float32 or not defer:
+        # f32 parity path: reference softmax-then-matmul (layer.py:92-100)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(_ATTN_EQS[layout][1], probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32, precision=prec)
@@ -144,7 +150,10 @@ def _attention_nodrop_bwd(scale, layout, res, g):
     q, k, v, bias = res
 
     def ref(q, k, v):
-        return _attention_math(q, k, v, bias, scale, layout)
+        # normalized form: the deferred quotient's autodiff backward adds
+        # f32 [B,S,H,D] intermediates (measured +2.2 ms/step at B=96 on
+        # the dropout core, PERF.md); same gradient up to bf16 rounding
+        return _attention_math(q, k, v, bias, scale, layout, defer=False)
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)

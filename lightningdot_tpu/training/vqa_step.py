@@ -12,6 +12,7 @@ VQA-score conventions come from the UNITER VQA driver):
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -82,29 +83,36 @@ def make_vqa_train_step(model: BiEncoderForVQA,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
             gnorm = grad_norm_from_opt_state(opt_state)
-            metrics["grad_norm"] = (gnorm if gnorm is not None
-                                    else optax.global_norm(grads))
+            if gnorm is not None:  # free when a clip stage measured it;
+                metrics["grad_norm"] = gnorm  # not worth a dedicated
+                # full-gradient pass otherwise (no VQA consumer reads it)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
 
 
+_EVAL_FNS: "OrderedDict[int, Tuple[Callable, BiEncoderForVQA]]" = \
+    OrderedDict()
+_EVAL_FNS_MAX = 8
+
+
 def _eval_score_fn(model: BiEncoderForVQA) -> Callable:
     """Jitted deterministic scorer, cached per model so repeated
     evaluate_vqa calls (once per epoch) hit jax.jit's trace cache instead
-    of re-tracing a fresh lambda each time."""
-    fn = _EVAL_FNS.get(id(model))
-    if fn is None:
-        fn = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False,
-                                              deterministic=True))
-        _EVAL_FNS[id(model)] = (fn, model)  # keep model alive: id is only
-        # unique while the object is
-    else:
-        fn = fn[0]
+    of re-tracing a fresh lambda each time. Bounded LRU (the model object
+    is kept alive alongside its fn — id() is only unique while the object
+    lives) so long processes don't accumulate compiled executables for
+    every model ever evaluated."""
+    entry = _EVAL_FNS.get(id(model))
+    if entry is not None:
+        _EVAL_FNS.move_to_end(id(model))
+        return entry[0]
+    fn = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False,
+                                          deterministic=True))
+    _EVAL_FNS[id(model)] = (fn, model)
+    while len(_EVAL_FNS) > _EVAL_FNS_MAX:
+        _EVAL_FNS.popitem(last=False)
     return fn
-
-
-_EVAL_FNS: Dict[int, Tuple[Callable, BiEncoderForVQA]] = {}
 
 
 def evaluate_vqa(model: BiEncoderForVQA, params, dataloader) -> Dict:
