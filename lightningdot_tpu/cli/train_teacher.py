@@ -272,15 +272,18 @@ def main(cmds=None):
     if mine is not None:
         mine(state)  # initial mining pass (train_itm.py:191-193)
 
+    from lightningdot_tpu.data.padding import Recycler
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     global_step = 0
     t0 = time.time()
     losses = []
+    recycler = Recycler()  # pool spent host batches (see padding.Recycler)
     while global_step < args.num_train_steps:
         fn, mb = next_batch(global_step)
         state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))
         losses.append(loss)
+        recycler.push(mb, ready=loss)
         global_step += 1
         if global_step % max(args.valid_steps, 1) == 0 or \
                 global_step >= args.num_train_steps:
@@ -293,6 +296,7 @@ def main(cmds=None):
                 and global_step < args.num_train_steps):
             # periodic re-mining (train_itm.py:266-270)
             mine(state)
+    recycler.flush()
 
     # save the teacher directory (consumable by _load_teacher / rerank)
     with open(os.path.join(args.output_dir, "config.json"), "w") as f:
