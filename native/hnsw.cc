@@ -163,13 +163,21 @@ class HNSW {
       auto& back = neighbors(cands[i].id, level);
       back.push_back(node);
       if ((int)back.size() > maxm) {
-        // keep the maxm closest to cands[i]
+        // keep the maxm closest to cands[i]. Distances are computed ONCE
+        // per neighbor before sorting — a comparator that recomputes the
+        // 768-d distance per comparison did ~6x the evals and dominated
+        // the build profile.
         const float* base = vec(cands[i].id);
-        std::partial_sort(back.begin(), back.begin() + maxm, back.end(),
-                          [&](int32_t a, int32_t b) {
-                            return dist(base, vec(a)) < dist(base, vec(b));
+        std::vector<Pair> scored;
+        scored.reserve(back.size());
+        for (int32_t b : back) scored.push_back({dist(base, vec(b)), b});
+        std::partial_sort(scored.begin(), scored.begin() + maxm,
+                          scored.end(),
+                          [](const Pair& a, const Pair& b) {
+                            return a.dist < b.dist;
                           });
-        back.resize(maxm);
+        back.clear();
+        for (int j = 0; j < maxm; ++j) back.push_back(scored[j].id);
       }
     }
   }

@@ -1,0 +1,69 @@
+"""Characterize the native HNSW index (native/hnsw.cc) vs exact search.
+
+The reference ships DenseHNSWFlatIndexer (faiss IndexHNSWFlat) as the
+CPU-serving ANN option (dvl/indexer/faiss_indexers.py:90-155); this
+measures our native equivalent on the full-COCO corpus shape: build
+time, host query latency (batch 1 / 64), and recall@{10,100} vs exact
+dot-product search on the same vectors.
+
+Usage: python scripts/perf_hnsw.py [n_corpus] [dim]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 123_287
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+    rng = np.random.default_rng(0)
+    # correlated encoder-like embeddings (low-rank + noise), the shipping
+    # regime — matches tests/test_serving.py's int8-overlap methodology
+    basis = rng.standard_normal((32, d)).astype(np.float32)
+    coef = rng.standard_normal((n, 32)).astype(np.float32)
+    corpus = coef @ basis + 0.1 * rng.standard_normal((n, d)).astype(
+        np.float32)
+
+    idx = DenseHNSWFlatIndexer(d)
+    t0 = time.perf_counter()
+    idx.index_data([(i, corpus[i]) for i in range(n)])
+    build_s = time.perf_counter() - t0
+
+    n_q = 256
+    queries = (rng.standard_normal((n_q, 32)).astype(np.float32) @ basis
+               + 0.1 * rng.standard_normal((n_q, d)).astype(np.float32))
+
+    # exact ground truth (host matmul)
+    scores = queries @ corpus.T
+    exact100 = np.argsort(-scores, axis=1)[:, :100]
+
+    # batch-1 latency
+    t0 = time.perf_counter()
+    for i in range(n_q):
+        idx.search_knn(queries[i:i + 1], 100)
+    b1_ms = (time.perf_counter() - t0) / n_q * 1000
+
+    # batch-64 call
+    t0 = time.perf_counter()
+    got = [idx.search_knn(queries[i:i + 64], 100)
+           for i in range(0, n_q, 64)]
+    b64_ms = (time.perf_counter() - t0) / (n_q / 64) * 1000
+
+    rows = [list(ids_q) for chunk in got for ids_q, _ in chunk]
+    r10 = np.mean([len(set(rows[i][:10]) & set(exact100[i][:10])) / 10
+                   for i in range(n_q)])
+    r100 = np.mean([len(set(rows[i][:100]) & set(exact100[i][:100])) / 100
+                    for i in range(n_q)])
+    print(f"hnsw n={n} d={d}: build {build_s:.1f}s "
+          f"({n / build_s:.0f} vec/s), query b1 {b1_ms:.2f} ms, "
+          f"b64 call {b64_ms:.1f} ms ({64 / b64_ms * 1000:.0f} QPS), "
+          f"recall@10 {r10:.3f} recall@100 {r100:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
