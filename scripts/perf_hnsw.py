@@ -31,7 +31,30 @@ def main():
 
     idx = DenseHNSWFlatIndexer(d)
     t0 = time.perf_counter()
-    idx.index_data([(i, corpus[i]) for i in range(n)])
+    # chunked add with progress (the DPR parity parameters store_n=512 /
+    # efC=200 make large single-threaded builds slow; faiss is the same
+    # algorithm, parallelized with OpenMP). NOTE: chunking is only valid
+    # here because the phi-norm guard is what index_data enforces — we
+    # bypass it by computing phi over the full corpus first, as the
+    # reference does for one-shot indexing.
+    import ctypes
+
+    norms = (corpus ** 2).sum(axis=1)
+    phi = float(norms.max())
+    aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
+    hvecs = np.ascontiguousarray(np.concatenate([corpus, aux[:, None]],
+                                                axis=1))
+    for lo in range(0, n, 5000):
+        hi = min(lo + 5000, n)
+        chunk = np.ascontiguousarray(hvecs[lo:hi])
+        idx._lib.hnsw_add_batch(
+            idx._h, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            hi - lo)
+        el = time.perf_counter() - t0
+        print(f"  built {hi}/{n} in {el:.0f}s ({hi / el:.0f} vec/s)",
+              flush=True)
+    idx.index_id_to_db_id = list(range(n))
+    idx.phi = phi
     build_s = time.perf_counter() - t0
 
     n_q = 256
