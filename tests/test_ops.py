@@ -171,3 +171,54 @@ def test_attention_layout_bnsd_matches_default():
                                            rtol=1e-4, atol=1e-5)
     finally:
         os.environ.pop("LDOT_ATTN_LAYOUT", None)
+
+
+def test_deferred_softmax_matches_normalized():
+    """The bf16 deferred-normalization path (divide by the f32 denominator
+    AFTER the AV matmul — the serving win, PERF.md) must agree with the
+    normalized reference form to a couple of bf16 ulps on both layouts,
+    and its gradients must stay finite/consistent."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, s, h, d = 2, 9, 3, 8
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.bfloat16)
+    mask = (jax.random.uniform(ks[3], (b, s)) > 0.2).astype(jnp.float32)
+    bias = ((1.0 - mask) * -10000.0)[:, None, None, :]
+    scale = 1.0 / (d ** 0.5)
+
+    out_d = _attention_math(q, k, v, bias, scale, defer=True)
+    out_n = _attention_math(q, k, v, bias, scale, defer=False)
+    np.testing.assert_allclose(np.asarray(out_d, np.float32),
+                               np.asarray(out_n, np.float32),
+                               rtol=0.02, atol=0.02)
+
+    qb = q.transpose(0, 2, 1, 3)
+    out_db = _attention_math(qb, k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3), bias, scale,
+                             layout="bnsd", defer=True)
+    np.testing.assert_allclose(
+        np.asarray(out_db.transpose(0, 2, 1, 3), np.float32),
+        np.asarray(out_n, np.float32), rtol=0.02, atol=0.02)
+
+    # fully-masked rows must stay finite (exp(0)=1 uniform, like softmax)
+    bias_all = jnp.full_like(bias, -10000.0)
+    out_m = _attention_math(q, k, v, bias_all, scale, defer=True)
+    assert bool(jnp.isfinite(out_m.astype(jnp.float32)).all())
+
+    # gradient through the public no-dropout op (deferred fwd, normalized
+    # bwd recompute) is finite and close to the normalized-form gradient
+    w = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d), jnp.bfloat16)
+
+    def loss(fn_defer):
+        def f(q_, k_, v_):
+            o = _attention_math(q_, k_, v_, bias, scale, defer=fn_defer)
+            return jnp.sum((o * w).astype(jnp.float32))
+        return f
+
+    gd = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gd, gn):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        assert np.isfinite(a32).all()
+        np.testing.assert_allclose(a32, b32, rtol=0.08, atol=0.08)
