@@ -131,6 +131,17 @@ def test_retriever_sharded_corpus_matches_single(rng):
         r2 = sharded.retrieve_query(q, top=10)
         assert [i for i, _ in r1] == [i for i, _ in r2]
 
+    # sharded corpus composes with the approx-top-k option (on CPU
+    # approx_max_k reduces to exact, so rankings must match exactly)
+    sharded_a = Retriever(model, params, FakeTokenizer(),
+                          mesh=data_parallel_mesh(), topk="approx",
+                          topk_recall=0.95)
+    sharded_a.set_corpus(ids, vecs)
+    for q in ["a dog", "red car driving"]:
+        r1 = single.retrieve_query(q, top=10)
+        r3 = sharded_a.retrieve_query(q, top=10)
+        assert [i for i, _ in r1] == [i for i, _ in r3]
+
 
 def test_retrieve_batch(rng):
     model = tiny_biencoder()
