@@ -6,7 +6,9 @@ measures our native equivalent on the full-COCO corpus shape: build
 time, host query latency (batch 1 / 64), and recall@{10,100} vs exact
 dot-product search on the same vectors.
 
-Usage: python scripts/perf_hnsw.py [n_corpus] [dim]
+Usage: python scripts/perf_hnsw.py [n_corpus] [dim] [store_n efC efS]
+(store_n/efC/efS default to the DPR parity parameters 512/200/128; pass
+e.g. ``32 80 64`` for a standard fast-build HNSW profile.)
 """
 from __future__ import annotations
 
@@ -21,6 +23,9 @@ from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 123_287
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+    store_n = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    efc = int(sys.argv[4]) if len(sys.argv) > 4 else 200
+    efs = int(sys.argv[5]) if len(sys.argv) > 5 else 128
     rng = np.random.default_rng(0)
     # correlated encoder-like embeddings (low-rank + noise), the shipping
     # regime — matches tests/test_serving.py's int8-overlap methodology
@@ -29,7 +34,8 @@ def main():
     corpus = coef @ basis + 0.1 * rng.standard_normal((n, d)).astype(
         np.float32)
 
-    idx = DenseHNSWFlatIndexer(d)
+    idx = DenseHNSWFlatIndexer(d, store_n=store_n, ef_construction=efc,
+                               ef_search=efs)
     t0 = time.perf_counter()
     # chunked add with progress (the DPR parity parameters store_n=512 /
     # efC=200 make large single-threaded builds slow; faiss is the same
@@ -82,7 +88,8 @@ def main():
                    for i in range(n_q)])
     r100 = np.mean([len(set(rows[i][:100]) & set(exact100[i][:100])) / 100
                     for i in range(n_q)])
-    print(f"hnsw n={n} d={d}: build {build_s:.1f}s "
+    print(f"hnsw n={n} d={d} M={store_n} efC={efc} efS={efs}: "
+          f"build {build_s:.1f}s "
           f"({n / build_s:.0f} vec/s), query b1 {b1_ms:.2f} ms, "
           f"b64 call {b64_ms:.1f} ms ({64 / b64_ms * 1000:.0f} QPS), "
           f"recall@10 {r10:.3f} recall@100 {r100:.3f}", flush=True)
