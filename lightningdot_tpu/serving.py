@@ -91,6 +91,7 @@ def encode_text_int8(qt, cfg, input_ids, attention_mask, position_ids):
     """Text-tower forward on int8 weights (serving fast path)."""
     from lightningdot_tpu.models import encoder as enc
     from lightningdot_tpu.ops import gelu, layer_norm, multi_head_attention
+    from lightningdot_tpu.ops.ffn_int8 import ffn_gelu_int8
 
     h = enc.text_embeddings(qt["embeddings"], cfg, input_ids, position_ids,
                             dtype=jnp.bfloat16)
@@ -112,8 +113,9 @@ def encode_text_int8(qt, cfg, input_ids, attention_mask, position_ids):
         a = _dense_int8(attn["output"], ctx)
         a = layer_norm(a + h, attn_ln["scale"], attn_ln["bias"],
                        cfg.layer_norm_eps)
-        i = gelu(_dense_int8(mlp["intermediate"], a))
-        o = _dense_int8(mlp["output"], i)
+        # int8 FFN pair (XLA by default; the fused Pallas kernel is gated —
+        # measured neutral at serving shapes, see ops/ffn_int8.py)
+        o = ffn_gelu_int8(mlp["intermediate"], mlp["output"], a)
         return layer_norm(o + a, mlp_ln["scale"], mlp_ln["bias"],
                           cfg.layer_norm_eps), None
 

@@ -110,3 +110,52 @@ def test_dh1_pallas_kernel_interpret(monkeypatch):
     want = (_dot(g, w2.T, prec).astype(jnp.float32)) * _gelu_grad(h1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-6)
+
+
+def _int8_params(h=64, inter=256, seed=5):
+    """Quantized param dicts in the serving.quantize_text_tower layout."""
+    from lightningdot_tpu.serving import quantize_text_tower  # noqa: F401
+    intermediate, output = _params(h, inter, seed)
+
+    def q(kernel):
+        k = jnp.asarray(kernel, jnp.float32)
+        s = jnp.maximum(jnp.abs(k).max(axis=-2), 1e-8) / 127.0
+        qi = jnp.clip(jnp.round(k / s[None, :]), -127, 127).astype(jnp.int8)
+        return {"q": qi, "scale": s}
+
+    qi = {**q(intermediate["kernel"]),
+          "bias": intermediate["bias"].astype(jnp.float32)}
+    qo = {**q(output["kernel"]), "bias": output["bias"].astype(jnp.float32)}
+    return qi, qo
+
+
+@pytest.mark.parametrize("rows", [128, 130])  # 130: ragged last block
+def test_ffn_int8_pallas_kernel_interpret(rows, monkeypatch):
+    """The fused int8 FFN kernel (interpret mode) matches the unfused
+    serving composition it replaces. Not bit-exact: the two compilations
+    round the dynamic-scale division (x/127) differently by 1 f32 ulp
+    (reciprocal-multiply strength reduction), which can flip borderline
+    int8 levels by +-1 — bound the effect instead."""
+    monkeypatch.setenv("LDOT_INT8_FFN_BLOCK", "64")
+    from lightningdot_tpu.ops.ffn_int8 import _ffn_int8_math, _ffn_int8_pallas
+    qi, qo = _int8_params()
+    x2d = jax.random.normal(jax.random.PRNGKey(6), (rows, 64), jnp.bfloat16)
+    args = (x2d, qi["q"], qi["scale"], qi["bias"],
+            qo["q"], qo["scale"], qo["bias"])
+    got = np.asarray(_ffn_int8_pallas(*args, interpret=True), np.float32)
+    want = np.asarray(_ffn_int8_math(*args, erf="poly"), np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.01 * scale
+    assert (got != want).mean() < 0.05  # the overwhelming majority is exact
+
+
+def test_ffn_int8_matches_legacy_dense_composition():
+    """ffn_gelu_int8 (default XLA path) is bit-identical to the pre-fusion
+    serving composition gelu(_dense_int8(.)) -> _dense_int8(.)."""
+    from lightningdot_tpu.ops.ffn_int8 import ffn_gelu_int8
+    from lightningdot_tpu.serving import _dense_int8
+    qi, qo = _int8_params()
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 9, 64), jnp.bfloat16)
+    got = np.asarray(ffn_gelu_int8(qi, qo, x), np.float32)
+    want = np.asarray(_dense_int8(qo, gelu(_dense_int8(qi, x))), np.float32)
+    np.testing.assert_array_equal(got, want)
