@@ -1,0 +1,126 @@
+"""Micro-batching serving front-end (serving_frontend.BatchingFrontend)."""
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+import pytest
+
+from lightningdot_tpu.serving import Retriever
+from lightningdot_tpu.serving_frontend import BatchingFrontend
+
+from test_serving import FakeTokenizer, tiny_biencoder
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    r = Retriever(model, params, FakeTokenizer())
+    rng = np.random.default_rng(0)
+    ids = [f"img_{i}" for i in range(200)]
+    r.set_corpus(ids, rng.standard_normal((200, 32)).astype(np.float32))
+    return r
+
+
+def test_results_match_direct_queries(retriever):
+    queries = [f"query number {i} words {i % 3}" for i in range(10)]
+    want = [retriever.retrieve_query(q, top=7) for q in queries]
+    with BatchingFrontend(retriever, max_batch=4, max_wait_ms=5.0) as fe:
+        got = fe.retrieve_many(queries, top=7)
+    for g, w in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in w]
+        np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
+                                   rtol=1e-5)
+
+
+def test_concurrent_submissions_coalesce(retriever):
+    """A burst of concurrent callers is served in fewer device calls than
+    requests, and every caller gets its own correct result."""
+    n = 32
+    with BatchingFrontend(retriever, max_batch=16, max_wait_ms=50.0) as fe:
+        barrier = threading.Barrier(n)
+
+        def call(i):
+            barrier.wait()           # release the burst at once
+            return i, fe.retrieve(f"dog {i}", top=5)
+
+        with ThreadPoolExecutor(n) as pool:
+            results = dict(pool.map(call, range(n)))
+        assert fe.requests_served == n
+        assert fe.batches_dispatched < n   # coalescing happened
+    for i in range(n):
+        want = retriever.retrieve_query(f"dog {i}", top=5)
+        assert [x for x, _ in results[i]] == [x for x, _ in want]
+
+
+def test_mixed_tops_slice_per_request(retriever):
+    with BatchingFrontend(retriever, max_batch=8, max_wait_ms=50.0) as fe:
+        f_small = fe.submit("a cat", top=3)
+        f_large = fe.submit("a dog", top=20)
+        assert len(f_small.result()) == 3
+        assert len(f_large.result()) == 20
+    want = retriever.retrieve_query("a cat", top=3)
+    assert [i for i, _ in f_small.result()] == [i for i, _ in want]
+
+
+def test_batch_bucket_padding(retriever):
+    """Group sizes pad up the bucket ladder (bounded compiled programs);
+    results are still per-request correct."""
+    fe = BatchingFrontend(retriever, max_batch=8, max_wait_ms=20.0,
+                          batch_buckets=(4, 8))
+    assert fe.batch_buckets == [4, 8]
+    try:
+        res = fe.retrieve("one lonely query", top=5)
+        assert len(res) == 5
+        want = retriever.retrieve_query("one lonely query", top=5)
+        assert [i for i, _ in res] == [i for i, _ in want]
+    finally:
+        fe.close()
+
+
+def test_close_rejects_new_and_drains(retriever):
+    fe = BatchingFrontend(retriever, max_batch=4, max_wait_ms=1.0)
+    fut = fe.submit("before close", top=5)
+    fe.close()
+    assert len(fut.result(timeout=10)) == 5
+    with pytest.raises(RuntimeError):
+        fe.submit("after close")
+
+
+def test_dispatch_survives_errors(retriever):
+    class Boom:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def retrieve_batch(self, queries, top):
+            self.calls += 1
+            if self.calls == 1:
+                raise ValueError("injected")
+            return self.inner.retrieve_batch(queries, top=top)
+
+    boom = Boom(retriever)
+    with BatchingFrontend(boom, max_batch=4, max_wait_ms=1.0) as fe:
+        f1 = fe.submit("first", top=5)
+        with pytest.raises(ValueError):
+            f1.result(timeout=10)
+        # the dispatcher survived; later requests succeed
+        assert len(fe.retrieve("second", top=5)) == 5
+
+
+def test_warmup_runs_every_bucket(retriever):
+    calls = []
+
+    class Spy:
+        def retrieve_batch(self, queries, top):
+            calls.append(len(queries))
+            return retriever.retrieve_batch(queries, top=top)
+
+    fe = BatchingFrontend(Spy(), max_batch=4, batch_buckets=(1, 2, 4))
+    try:
+        fe.warmup(top=5)
+        assert calls == [1, 2, 4]
+    finally:
+        fe.close()
