@@ -43,14 +43,16 @@ class _FixedTokenizer:
         return ids + [102]
 
 
-def _real_tokenizer_ms() -> float:
-    """Host-side WordPiece cost per query, measured with the genuine
-    ``transformers.BertTokenizer`` (the reference tokenizes inside
-    ``retrieve_query``, dvl/utils.py:205-208 — this cost is part of its
-    end-to-end latency). Zero-egress environment: a full-size 28,996-entry
-    cased vocab is synthesized locally; WordPiece runtime depends on vocab
-    size and longest-prefix structure, not the specific merges, and the
-    captions are built from in-vocab pieces so real subword splits happen.
+def _real_tokenizer_ms() -> tuple:
+    """Host-side WordPiece cost per query: (transformers.BertTokenizer,
+    native ldtok) — the reference tokenizes inside ``retrieve_query``
+    (dvl/utils.py:205-208), so this cost is part of its end-to-end latency;
+    this framework ships ``data/tokenizer.WordPieceTokenizer`` (C++,
+    golden-identical — tests/test_tokenizer.py). Zero-egress environment: a
+    full-size 28,996-entry cased vocab is synthesized locally; WordPiece
+    runtime depends on vocab size and longest-prefix structure, not the
+    specific merges, and the captions are built from in-vocab pieces so
+    real subword splits happen.
     """
     import os
     import random
@@ -88,14 +90,20 @@ def _real_tokenizer_ms() -> float:
                     w += rng.choice(conts)
                 words.append(w)
             caps.append(" ".join(words))
-        for c in caps:                  # warm the tokenizer caches
-            tok.encode(c)
-        n_rounds = 8
-        t0 = time.perf_counter()
-        for _ in range(n_rounds):
-            for c in caps:
-                tok.encode(c)
-        return (time.perf_counter() - t0) / (n_rounds * len(caps)) * 1000.0
+        from lightningdot_tpu.data.tokenizer import WordPieceTokenizer
+
+        ms = []
+        for t, n_rounds in ((tok, 8),
+                            (WordPieceTokenizer(path), 64)):
+            for c in caps:              # warm the tokenizer caches
+                t.encode(c)
+            t0 = time.perf_counter()
+            for _ in range(n_rounds):
+                for c in caps:
+                    t.encode(c)
+            ms.append((time.perf_counter() - t0)
+                      / (n_rounds * len(caps)) * 1000.0)
+        return ms[0], ms[1]
 
 
 def main():
@@ -246,7 +254,7 @@ def main():
                            corpus)
     qps64q = batch64_qps(retriever_q)
 
-    tok_ms = _real_tokenizer_ms()
+    tok_ms_hf, tok_ms_native = _real_tokenizer_ms()
 
     print(json.dumps({
         "metric": "full_coco_123k_query_latency_p50",
@@ -254,9 +262,12 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_P50_MS / p50_ms, 2),
         # host-side WordPiece tokenization (the reference pays this inside
-        # retrieve_query too); end_to_end = tokenize + device program
-        "tokenize_host_ms": round(tok_ms, 3),
-        "end_to_end_ms": round(p50_ms + tok_ms, 3),
+        # retrieve_query too, via the Python BertTokenizer = the _hf
+        # number); this framework ships a golden-identical native C++
+        # tokenizer — end_to_end = native tokenize + device program
+        "tokenize_host_ms_hf": round(tok_ms_hf, 3),
+        "tokenize_host_ms": round(tok_ms_native, 4),
+        "end_to_end_ms": round(p50_ms + tok_ms_native, 3),
         "batch64_qps_per_chip": round(qps64),
         "batch64_qps_approx_topk": round(qps64a),
         # int8 tower + int8 corpus + approx top-k (QPS-optimal, PERF.md)

