@@ -23,6 +23,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Any, List, Sequence, Tuple
 
@@ -45,13 +46,27 @@ class BatchingFrontend:
                                     if b <= max_batch) or [max_batch]
         if self.batch_buckets[-1] < max_batch:
             self.batch_buckets.append(max_batch)
-        self._queue: "queue.Queue" = queue.Queue()
+        # deque + condition instead of queue.Queue: the dispatcher drains a
+        # whole group under ONE lock acquisition (queue.Queue pays a lock +
+        # condition round per item — measured ~2x the dispatch overhead at
+        # batch 64, scripts/perf_frontend.py)
+        self._pending: deque = deque()
+        self._cond = threading.Condition()
+        self._results: "queue.Queue" = queue.Queue()
         self._closed = False
         self.batches_dispatched = 0      # instrumentation (tests, metrics)
         self.requests_served = 0
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="ldot-serving-dispatch")
+        # future resolution runs off the dispatch thread so the next device
+        # call starts while the previous batch's callers are woken (the
+        # resolve loop costs ~30 us/request — at batch 64 that is ~2 ms,
+        # comparable to the device call itself; scripts/perf_frontend.py)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True,
+                                          name="ldot-serving-resolve")
         self._thread.start()
+        self._resolver.start()
 
     # -- client API ----------------------------------------------------------
     def submit(self, query: str, top: int = 100) -> "Future":
@@ -59,7 +74,9 @@ class BatchingFrontend:
         if self._closed:
             raise RuntimeError("frontend is closed")
         fut: Future = Future()
-        self._queue.put((query, top, fut))
+        with self._cond:
+            self._pending.append((query, top, fut))
+            self._cond.notify()
         return fut
 
     def retrieve(self, query: str, top: int = 100
@@ -79,12 +96,15 @@ class BatchingFrontend:
             self.retriever.retrieve_batch([query] * b, top=top)
 
     def close(self) -> None:
-        """Drain outstanding requests and stop the dispatch thread."""
+        """Drain outstanding requests and stop the worker threads."""
         if self._closed:
             return
         self._closed = True
-        self._queue.put(None)            # wake the dispatcher
+        with self._cond:
+            self._cond.notify()          # wake the dispatcher
         self._thread.join()
+        self._results.put(None)          # dispatcher done -> stop resolver
+        self._resolver.join()
 
     def __enter__(self):
         return self
@@ -93,26 +113,29 @@ class BatchingFrontend:
         self.close()
 
     # -- dispatch loop ---------------------------------------------------------
+    def _drain_locked(self, group):
+        """Move up to max_batch pending items into group (cond held)."""
+        take = min(self.max_batch - len(group), len(self._pending))
+        for _ in range(take):
+            group.append(self._pending.popleft())
+
     def _next_group(self):
         """Block for the first request, then drain up to max_batch more,
-        waiting at most max_wait_s for stragglers. None = shutdown marker."""
-        first = self._queue.get()
-        if first is None:
-            return None
-        group = [first]
-        t_end = time.monotonic() + self.max_wait_s
-        while len(group) < self.max_batch:
-            timeout = t_end - time.monotonic()
-            try:
-                item = (self._queue.get_nowait() if timeout <= 0
-                        else self._queue.get(timeout=timeout))
-            except queue.Empty:
-                break
-            if item is None:
-                # keep the marker: outstanding groups still run, then stop
-                self._queue.put(None)
-                break
-            group.append(item)
+        waiting at most max_wait_s for stragglers. None = shutdown."""
+        group: list = []
+        with self._cond:
+            while not self._pending and not self._closed:
+                self._cond.wait()
+            if not self._pending and self._closed:
+                return None
+            self._drain_locked(group)
+            t_end = time.monotonic() + self.max_wait_s
+            while len(group) < self.max_batch and not self._closed:
+                timeout = t_end - time.monotonic()
+                if timeout <= 0:
+                    break
+                self._cond.wait(timeout)
+                self._drain_locked(group)
         return group
 
     def _loop(self) -> None:
@@ -130,18 +153,27 @@ class BatchingFrontend:
             try:
                 results = self.retriever.retrieve_batch(padded, top=k)
             except Exception as e:  # resolve, don't kill the dispatcher
-                for _, _, fut in group:
-                    fut.set_exception(e)
+                self._results.put((group, e))
                 continue
             self.batches_dispatched += 1
             self.requests_served += len(group)
-            for (_, top, fut), res in zip(group, results):
-                fut.set_result(res[:top])
-        # shutdown: fail anything still queued
+            self._results.put((group, results))
+        # shutdown: fail anything still queued (close() raced new submits)
+        with self._cond:
+            leftovers = list(self._pending)
+            self._pending.clear()
+        if leftovers:
+            self._results.put((leftovers, RuntimeError("frontend closed")))
+
+    def _resolve_loop(self) -> None:
         while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
+            got = self._results.get()
+            if got is None:
                 break
-            if item is not None:
-                item[2].set_exception(RuntimeError("frontend closed"))
+            group, results = got
+            if isinstance(results, BaseException):
+                for _, _, fut in group:
+                    fut.set_exception(results)
+            else:
+                for (_, top, fut), res in zip(group, results):
+                    fut.set_result(res[:top])

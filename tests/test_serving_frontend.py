@@ -124,3 +124,27 @@ def test_warmup_runs_every_bucket(retriever):
         assert calls == [1, 2, 4]
     finally:
         fe.close()
+
+
+def test_frontend_over_sharded_retriever():
+    """The frontend composes with the mesh-sharded corpus (multi-chip
+    serving): coalesced results equal the single-device retriever's."""
+    import jax as _jax
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+
+    model = tiny_biencoder()
+    params = model.init(_jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    ids = [f"img_{i}" for i in range(256)]
+    vecs = rng.standard_normal((256, 32)).astype(np.float32)
+    flat = Retriever(model, params, FakeTokenizer())
+    flat.set_corpus(ids, vecs)
+    sharded = Retriever(model, params, FakeTokenizer(),
+                        mesh=data_parallel_mesh())
+    sharded.set_corpus(ids, vecs)
+    queries = [f"sharded burst {i}" for i in range(6)]
+    with BatchingFrontend(sharded, max_batch=4, max_wait_ms=20.0) as fe:
+        got = fe.retrieve_many(queries, top=8)
+    for q, g in zip(queries, got):
+        want = flat.retrieve_query(q, top=8)
+        assert [i for i, _ in g] == [i for i, _ in want]
