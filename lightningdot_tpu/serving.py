@@ -186,9 +186,8 @@ class Retriever:
             scales = np.maximum(scales, 1e-12)
             q = np.clip(np.rint(mat / scales[:, None]), -127, 127
                         ).astype(np.int8)
-            self._corpus = jnp.asarray(q)
-            self._scales = jnp.asarray(scales.astype(np.float32))
-            self._bias = jnp.asarray(bias)
+            self._corpus, self._bias, self._scales = self._place(
+                q, bias, scales.astype(np.float32))
             self._ids = list(ids)
             self._fns.clear()
             return
@@ -196,21 +195,25 @@ class Retriever:
         # the scan bytes is ~0.23 ms on full COCO (scores still accumulate
         # in f32 on the MXU); ranking differences vs f32 are bf16 rounding
         # of the stored embeddings only
-        mat = mat.astype(jnp.bfloat16)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from lightningdot_tpu.parallel.mesh import DP_AXIS
-
-            self._corpus = jax.device_put(
-                mat, NamedSharding(self.mesh, P(DP_AXIS, None)))
-            self._bias = jax.device_put(
-                bias, NamedSharding(self.mesh, P(DP_AXIS)))
-        else:
-            self._corpus = jnp.asarray(mat)
-            self._bias = jnp.asarray(bias)
+        self._corpus, self._bias, self._scales = self._place(
+            mat.astype(jnp.bfloat16), bias, None)
         self._ids = list(ids)
         self._fns.clear()
+
+    def _place(self, corpus, bias, scales):
+        """Put corpus-aligned arrays on the mesh (row-sharded) or device."""
+        if self.mesh is None:
+            return (jnp.asarray(corpus), jnp.asarray(bias),
+                    jnp.asarray(scales) if scales is not None else None)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lightningdot_tpu.parallel.mesh import DP_AXIS
+
+        rows = NamedSharding(self.mesh, P(DP_AXIS))
+        return (jax.device_put(corpus,
+                               NamedSharding(self.mesh, P(DP_AXIS, None))),
+                jax.device_put(bias, rows),
+                jax.device_put(scales, rows) if scales is not None else None)
 
     def save_corpus(self, path: str) -> None:
         vecs = np.asarray(self._corpus)
@@ -232,20 +235,10 @@ class Retriever:
                 f"corpus saved with quantization={quant!r}, retriever has "
                 f"{self.quantization!r}")
         vecs = data["vecs"]
-        self._corpus = jnp.asarray(
-            vecs if vecs.dtype == np.int8 else vecs.astype(jnp.bfloat16))
-        self._bias = jnp.asarray(data["bias"])
-        self._scales = (jnp.asarray(data["scales"])
-                        if "scales" in data.files else None)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from lightningdot_tpu.parallel.mesh import DP_AXIS
-
-            self._corpus = jax.device_put(
-                self._corpus, NamedSharding(self.mesh, P(DP_AXIS, None)))
-            self._bias = jax.device_put(
-                self._bias, NamedSharding(self.mesh, P(DP_AXIS)))
+        self._corpus, self._bias, self._scales = self._place(
+            vecs if vecs.dtype == np.int8 else vecs.astype(jnp.bfloat16),
+            data["bias"],
+            data["scales"] if "scales" in data.files else None)
         self._fns.clear()
 
     def _enc_params(self):

@@ -336,3 +336,38 @@ def test_approx_topk_retriever_matches_exact_on_cpu():
     import pytest
     with pytest.raises(ValueError):
         Retriever(model, params, Tok(), topk="nope")
+
+
+def test_retriever_sharded_int8_corpus_matches_unsharded(rng, tmp_path):
+    """int8 corpus quantization composes with the mesh-sharded corpus
+    (the per-vector scales must shard with their rows), including through
+    the save/load roundtrip."""
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    ids = [f"i{i}" for i in range(512)]
+    vecs = rng.standard_normal((512, 32)).astype(np.float32)
+
+    plain = Retriever(model, params, FakeTokenizer(), quantization="int8")
+    plain.set_corpus(ids, vecs)
+    sharded = Retriever(model, params, FakeTokenizer(), quantization="int8",
+                        mesh=data_parallel_mesh())
+    sharded.set_corpus(ids, vecs)
+    n_dev = len(jax.devices())
+    assert len(sharded._corpus.sharding.device_set) == n_dev
+    assert len(sharded._scales.sharding.device_set) == n_dev
+
+    for q in ["a dog", "two cats on a mat"]:
+        r1 = plain.retrieve_query(q, top=10)
+        r2 = sharded.retrieve_query(q, top=10)
+        assert [i for i, _ in r1] == [i for i, _ in r2]
+
+    path = str(tmp_path / "corpus")
+    plain.save_corpus(path)
+    reloaded = Retriever(model, params, FakeTokenizer(),
+                         quantization="int8", mesh=data_parallel_mesh())
+    reloaded.load_corpus(path)
+    for q in ["a dog"]:
+        assert ([i for i, _ in plain.retrieve_query(q, top=10)]
+                == [i for i, _ in reloaded.retrieve_query(q, top=10)])
