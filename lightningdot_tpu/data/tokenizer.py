@@ -19,6 +19,7 @@ logic exactly.
 from __future__ import annotations
 
 import ctypes
+import threading
 import unicodedata
 from typing import Dict, List, Optional
 
@@ -95,6 +96,11 @@ class WordPieceTokenizer:
                     self._native = lib
                     self._handle = handle
                     self._buf = (ctypes.c_int32 * 512)()
+                    # ctypes releases the GIL during the C call, so two
+                    # threads could interleave writes into the shared
+                    # result buffer (the batching frontend encodes from
+                    # its dispatch thread while clients may call directly)
+                    self._buf_lock = threading.Lock()
 
     def __del__(self):
         if getattr(self, "_native", None) is not None and self._handle:
@@ -109,15 +115,19 @@ class WordPieceTokenizer:
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         if self._handle is not None:
             # NUL would truncate the C string; the tokenizer drops U+0000
-            # anyway (BasicTokenizer._clean_text), so stripping is identical
-            raw = text.replace("\x00", "").encode()
-            n = self._native.ldtok_encode(self._handle, raw,
-                                          self._buf, len(self._buf))
-            if n > len(self._buf):  # rare: grow and re-encode
-                self._buf = (ctypes.c_int32 * (2 * n))()
+            # anyway (BasicTokenizer._clean_text), so stripping is
+            # identical. errors="ignore" drops lone surrogates — which the
+            # reference also drops (category Cs -> control) — instead of
+            # raising UnicodeEncodeError.
+            raw = text.replace("\x00", "").encode("utf-8", "ignore")
+            with self._buf_lock:
                 n = self._native.ldtok_encode(self._handle, raw,
                                               self._buf, len(self._buf))
-            ids = list(self._buf[:n])
+                if n > len(self._buf):  # rare: grow and re-encode
+                    self._buf = (ctypes.c_int32 * (2 * n))()
+                    n = self._native.ldtok_encode(self._handle, raw,
+                                                  self._buf, len(self._buf))
+                ids = list(self._buf[:n])
         else:
             ids = [self.vocab.get(t, self.unk_token_id)
                    for t in self._tokenize_py(text)]

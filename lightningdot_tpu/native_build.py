@@ -33,10 +33,12 @@ def load_native(name: str) -> Optional[ctypes.CDLL]:
     if name in _cache:
         return _cache[name]
     so = NATIVE_DIR / "build" / f"lib{name}.so"
-    if not so.exists():
-        try:
-            _build_locked()
-        except Exception:
+    # always run make (no-op when current): loading a stale .so after a
+    # source update silently serves old behavior
+    try:
+        _build_locked()
+    except Exception:
+        if not so.exists():
             _cache[name] = None
             return None
     try:

@@ -31,7 +31,6 @@ Serving-only: no custom VJP (the quantized tower is never trained).
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

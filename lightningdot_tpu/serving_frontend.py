@@ -24,7 +24,7 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Any, List, Sequence, Tuple
 
 
@@ -52,6 +52,10 @@ class BatchingFrontend:
         # batch 64, scripts/perf_frontend.py)
         self._pending: deque = deque()
         self._cond = threading.Condition()
+        # serializes every retriever call: the dispatch thread holds it per
+        # batch, warmup() holds it from the caller thread — device programs
+        # must never run concurrently (they share the chip)
+        self._call_lock = threading.Lock()
         self._results: "queue.Queue" = queue.Queue()
         self._closed = False
         self.batches_dispatched = 0      # instrumentation (tests, metrics)
@@ -71,10 +75,12 @@ class BatchingFrontend:
     # -- client API ----------------------------------------------------------
     def submit(self, query: str, top: int = 100) -> "Future":
         """Enqueue a query; the future resolves to [(db_id, score)]."""
-        if self._closed:
-            raise RuntimeError("frontend is closed")
         fut: Future = Future()
         with self._cond:
+            # checked under the lock: a submit racing close() must either
+            # enqueue before the dispatcher's final drain or raise
+            if self._closed:
+                raise RuntimeError("frontend is closed")
             self._pending.append((query, top, fut))
             self._cond.notify()
         return fut
@@ -91,16 +97,18 @@ class BatchingFrontend:
 
     def warmup(self, top: int = 100, query: str = "warmup") -> None:
         """Precompile one program per batch bucket (at ``query``'s length
-        bucket). Other (length, top) shapes compile on first use."""
+        bucket). Other (length, top) shapes compile on first use. Safe on
+        a live frontend: each call takes the device-call lock."""
         for b in self.batch_buckets:
-            self.retriever.retrieve_batch([query] * b, top=top)
+            with self._call_lock:
+                self.retriever.retrieve_batch([query] * b, top=top)
 
     def close(self) -> None:
         """Drain outstanding requests and stop the worker threads."""
-        if self._closed:
-            return
-        self._closed = True
         with self._cond:
+            if self._closed:
+                return
+            self._closed = True
             self._cond.notify()          # wake the dispatcher
         self._thread.join()
         self._results.put(None)          # dispatcher done -> stop resolver
@@ -151,7 +159,8 @@ class BatchingFrontend:
             nb = next(b for b in self.batch_buckets if b >= len(queries))
             padded = queries + [""] * (nb - len(queries))
             try:
-                results = self.retriever.retrieve_batch(padded, top=k)
+                with self._call_lock:
+                    results = self.retriever.retrieve_batch(padded, top=k)
             except Exception as e:  # resolve, don't kill the dispatcher
                 self._results.put((group, e))
                 continue
@@ -173,7 +182,13 @@ class BatchingFrontend:
             group, results = got
             if isinstance(results, BaseException):
                 for _, _, fut in group:
-                    fut.set_exception(results)
+                    try:
+                        fut.set_exception(results)
+                    except InvalidStateError:
+                        pass             # caller cancelled; result dropped
             else:
                 for (_, top, fut), res in zip(group, results):
-                    fut.set_result(res[:top])
+                    try:
+                        fut.set_result(res[:top])
+                    except InvalidStateError:
+                        pass             # caller cancelled; result dropped

@@ -257,7 +257,9 @@ void* ldtok_new(const char* vocab_path) {
   int32_t id = 0;
   while (std::getline(f, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
-    t->vocab.emplace(line, id++);
+    // assignment, not emplace: a duplicated vocab line must map to its
+    // LAST id, matching HF load_vocab / data/tokenizer.py
+    t->vocab[line] = id++;
   }
   if (t->vocab.empty()) {
     delete t;

@@ -148,3 +148,16 @@ def test_frontend_over_sharded_retriever():
     for q, g in zip(queries, got):
         want = flat.retrieve_query(q, top=8)
         assert [i for i, _ in g] == [i for i, _ in want]
+
+
+def test_cancelled_future_does_not_kill_resolver(retriever):
+    """A caller cancelling its future (e.g. its own timeout) must not
+    break result delivery for anyone else."""
+    with BatchingFrontend(retriever, max_batch=4, max_wait_ms=30.0) as fe:
+        doomed = fe.submit("will be cancelled", top=5)
+        doomed.cancel()
+        ok = fe.submit("still served", top=5)
+        assert len(ok.result(timeout=10)) == 5
+        # the resolver survived; a fresh request also works
+        assert len(fe.retrieve("after the cancel", top=5)) == 5
+        assert fe._resolver.is_alive()

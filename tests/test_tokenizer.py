@@ -111,3 +111,38 @@ def test_add_special_tokens_flag(vocab_path):
     full = t.encode("Hello")
     bare = t.encode("Hello", add_special_tokens=False)
     assert full == [t.cls_token_id] + bare + [t.sep_token_id]
+
+
+def test_lone_surrogates_dropped_like_reference(vocab_path):
+    """Unpaired surrogates (category Cs -> control) are dropped by the
+    reference; the native path must not raise UnicodeEncodeError."""
+    nat = WordPieceTokenizer(vocab_path)
+    py = WordPieceTokenizer(vocab_path, use_native=False)
+    text = "Hello \udcff\ud800 naïve"
+    want = py.encode(text)
+    assert nat.encode(text) == want
+    assert want == py.encode("Hello  naïve")
+
+
+def test_duplicate_vocab_line_maps_to_last_id(tmp_path):
+    """HF load_vocab overwrites on duplicates — both paths must match."""
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "dup", "other",
+         "dup"]), encoding="utf-8")
+    for use_native in (True, False):
+        t = WordPieceTokenizer(str(path), use_native=use_native)
+        assert t.encode("dup", add_special_tokens=False) == [7], use_native
+
+
+def test_concurrent_encodes_thread_safe(vocab_path):
+    """The native result buffer is shared; concurrent encodes must not
+    interleave (ctypes releases the GIL during the C call)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = WordPieceTokenizer(vocab_path)
+    texts = [f"Hello {'x' * (i % 7)} world" for i in range(200)]
+    want = [t.encode(s) for s in texts]
+    with ThreadPoolExecutor(8) as pool:
+        got = list(pool.map(t.encode, texts))
+    assert got == want
