@@ -41,6 +41,15 @@ def __getattr__(name):
     if name == "Retriever":
         from lightningdot_tpu.serving import Retriever
         return Retriever
+    if name == "BatchingFrontend":
+        from lightningdot_tpu.serving_frontend import BatchingFrontend
+        return BatchingFrontend
+    if name == "RetrievalServer":
+        from lightningdot_tpu.serving_http import RetrievalServer
+        return RetrievalServer
+    if name == "WordPieceTokenizer":
+        from lightningdot_tpu.data.tokenizer import WordPieceTokenizer
+        return WordPieceTokenizer
     if name == "DenseFlatIndex":
         from lightningdot_tpu.index import DenseFlatIndex
         return DenseFlatIndex

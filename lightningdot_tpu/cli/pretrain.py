@@ -55,6 +55,10 @@ def build_parser():
                    help="save step checkpoints on a background thread "
                         "(device->host pull + npz write off the hot loop)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sim_preempt_step", type=int, default=None,
+                   help="fault injection: act as if SIGTERM arrived at "
+                        "this global step (tests the preemption path "
+                        "deterministically)")
     p.add_argument("--compute_dtype", default="bf16",
                    choices=["bf16", "f32"])
     p.add_argument("--kernel_backend", default="auto",
@@ -298,10 +302,15 @@ def main(cmds=None):
                 args.num_train_steps, list(train_loaders))
     from lightningdot_tpu.data.padding import Recycler
     from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
 
     # recycle spent host batches into the padding buffer pool once the step
     # that consumed them reports ready (see Recycler docstring)
     recycler = Recycler()
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None))
+    guard.__enter__()
+    preempted = False
 
     for name, batch in meta_loader:
         task = name.split("_")[0]
@@ -343,15 +352,31 @@ def main(cmds=None):
                 last_validated = global_step
                 saver.save(state.params, global_step,
                            optimizer=state.opt_state)
+            if guard.check(global_step):
+                # preemption: checkpoint NOW (skip validation — the grace
+                # window is short) and exit cleanly; auto-resume picks the
+                # run up from this exact step
+                LOGGER.warning("preempted at step %d: saving and exiting",
+                               global_step)
+                saver.save(state.params, global_step,
+                           optimizer=state.opt_state)
+                last_validated = global_step  # suppress the final sweep
+                preempted = True
+                break
         if global_step >= args.num_train_steps:
             break
     recycler.flush()
+    guard.__exit__()
 
     if last_validated != global_step:  # avoid a duplicate final sweep
         saver.save(state.params, global_step, optimizer=state.opt_state)
         results = validate(model, state.params, val_loaders, validate_fn,
                            global_step)
     saver.wait()  # drain the async writer before returning
+    if preempted:
+        LOGGER.warning("exiting after preemption checkpoint at step %d "
+                       "(resume by re-running the same command)",
+                       global_step)
     return results, state
 
 

@@ -1,0 +1,61 @@
+"""Graceful-preemption handling for long-running drivers.
+
+The reference has no failure/preemption story (SURVEY.md §5: recovery =
+auto-resume from the newest ``model_step_*``); on preemptible TPU pools the
+scheduler sends SIGTERM with a short grace window, and losing the window
+costs up to ``valid_steps`` of work. :class:`PreemptionGuard` turns the
+signal into a flag the training loop checks at update boundaries: the loop
+checkpoints once more and exits cleanly, and the existing auto-resume
+discovery continues from that step on the next start.
+
+Each host receives its own signal; saving is rank-0-only as usual (the DP
+state is replicated, so rank 0's snapshot is the global state).
+"""
+from __future__ import annotations
+
+import signal
+import threading
+from typing import Optional
+
+from lightningdot_tpu.utils.logging import LOGGER
+
+
+class PreemptionGuard:
+    """Context manager: latch SIGTERM/SIGINT-style signals into a flag.
+
+    Signal handlers only install from the main thread; elsewhere (e.g. a
+    driver invoked from a worker thread in tests) the guard degrades to a
+    manually triggerable flag (``sim_after_step``).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,),
+                 sim_after_step: Optional[int] = None):
+        self.signals = signals
+        self.requested = False
+        # fault injection (SURVEY §5: the reference has none): trip the
+        # guard once global_step reaches this value, as if signalled
+        self.sim_after_step = sim_after_step
+        self._old = {}
+
+    def _handler(self, signum, frame):
+        LOGGER.warning("signal %d: finishing the current update, "
+                       "checkpointing, and exiting", signum)
+        self.requested = True
+
+    def check(self, global_step: int) -> bool:
+        """True once preemption was requested (or simulated)."""
+        if (self.sim_after_step is not None
+                and global_step >= self.sim_after_step):
+            self.requested = True
+        return self.requested
+
+    def __enter__(self) -> "PreemptionGuard":
+        if threading.current_thread() is threading.main_thread():
+            for sig in self.signals:
+                self._old[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for sig, old in self._old.items():
+            signal.signal(sig, old)
+        self._old.clear()

@@ -169,3 +169,63 @@ def test_pretrain_driver_and_resume(synth, tmp_path_factory):
     results2, state2 = main(["--config", cfg_path, "--compute_dtype", "f32",
                              "--num_train_steps", "10"])
     assert os.path.exists(os.path.join(out_dir, "ckpt", "model_step_10.npz"))
+
+
+def _pretrain_cfg(synth, tmp_path_factory):
+    txt_dir, img_dir = synth
+    model_cfg_path = str(tmp_path_factory.mktemp("mc") / "model.json")
+    with open(model_cfg_path, "w") as f:
+        json.dump({"vocab_size": 28996, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 4,
+                   "intermediate_size": 64, "max_position_embeddings": 64,
+                   "img_dim": 32}, f)
+    out_dir = str(tmp_path_factory.mktemp("preempt_out"))
+    cfg_path = _write_pretrain_config(tmp_path_factory.mktemp("cfgs2"),
+                                      txt_dir, img_dir, model_cfg_path,
+                                      out_dir)
+    return cfg_path, out_dir
+
+
+def test_pretrain_preemption_checkpoint_and_resume(synth, tmp_path_factory):
+    """Fault injection: a simulated SIGTERM at step 2 checkpoints and exits
+    cleanly; re-running the same command resumes from that step."""
+    cfg_path, out_dir = _pretrain_cfg(synth, tmp_path_factory)
+    from lightningdot_tpu.cli.pretrain import main
+
+    _, state = main(["--config", cfg_path, "--compute_dtype", "f32",
+                     "--sim_preempt_step", "2"])
+    assert os.path.exists(os.path.join(out_dir, "ckpt", "model_step_2.npz"))
+    assert int(state.step) == 4          # 2 updates x 2 accum micro-steps
+    assert not os.path.exists(
+        os.path.join(out_dir, "ckpt", "model_step_6.npz"))
+
+    # auto-resume completes the run
+    _, state2 = main(["--config", cfg_path, "--compute_dtype", "f32"])
+    assert os.path.exists(os.path.join(out_dir, "ckpt", "model_step_6.npz"))
+    assert int(state2.step) == 12
+
+
+def test_pretrain_real_sigterm(synth, tmp_path_factory):
+    """A genuine SIGTERM mid-run lands a checkpoint and exits cleanly."""
+    import signal
+    import threading
+    import time
+
+    cfg_path, out_dir = _pretrain_cfg(synth, tmp_path_factory)
+    from lightningdot_tpu.cli.pretrain import main
+
+    timer = threading.Timer(
+        0.5, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        t0 = time.time()
+        _, state = main(["--config", cfg_path, "--compute_dtype", "f32",
+                         "--num_train_steps", "100000",
+                         "--valid_steps", "100000"])
+    finally:
+        timer.cancel()
+    steps = int(state.step) // 2
+    assert 1 <= steps < 100000
+    assert os.path.exists(
+        os.path.join(out_dir, "ckpt", f"model_step_{steps}.npz"))
+    assert time.time() - t0 < 120
