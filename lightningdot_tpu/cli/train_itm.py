@@ -186,11 +186,15 @@ def main(cmds=None):
     if mesh is not None:
         state = replicate(mesh, state)
 
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     best_eval_metric = 0.0
     loss_meter = RunningMeter("loss")
     global_step = 0
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None))
+    guard.__enter__()
 
     for epoch in range(args.num_train_epochs):
         LOGGER.info("*" * 70)
@@ -237,7 +241,19 @@ def main(cmds=None):
                     TB_LOGGER.log_metric("loss_train", loss)
                     TB_LOGGER.log_metric("lr", lr)
                 pending = metrics
+            if guard.check(global_step):
+                break
         recycler.flush()
+        if guard.requested:
+            # preemption: snapshot (model + step + epoch) and exit cleanly;
+            # continue later via --biencoder_checkpoint biencoder.preempt
+            LOGGER.warning("preempted at step %d (epoch %d): saving "
+                           "biencoder.preempt and exiting", global_step,
+                           epoch)
+            save_checkpoint(
+                os.path.join(args.output_dir, "biencoder.preempt"),
+                model=state.params, step=global_step, epoch=epoch)
+            break
 
         # eval and save (train_itm.py:313-349)
         result = eval_model_on_dataloader(
@@ -271,7 +287,10 @@ def main(cmds=None):
         else:
             assert args.hard_negatives_sampling in ("none", "random")
 
+    guard.__exit__()
     results = {"best_val_recall_mean": best_eval_metric}
+    if guard.requested:  # skip the final test sweep in the grace window
+        return results, state
     if args.test_txt_db:
         test_dataset = load_dataset(all_img_dbs, args.test_txt_db,
                                     args.test_img_db, args, is_train=False)

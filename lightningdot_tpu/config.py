@@ -176,6 +176,9 @@ def add_logging_params(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--project_name", default="itm", type=str)
     parser.add_argument("--expr_name_prefix", default="", type=str)
     parser.add_argument("--save_all_epochs", action="store_true")
+    parser.add_argument("--sim_preempt_step", type=int, default=None,
+                        help="fault injection: act as if SIGTERM arrived "
+                             "at this global step (preemption-path tests)")
 
 
 def add_kd_params(parser: argparse.ArgumentParser) -> None:

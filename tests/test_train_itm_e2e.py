@@ -132,3 +132,41 @@ def test_train_itm_bf16_optstate_and_workers(synth, tmp_path_factory):
     leaves_nu = jax.tree.leaves(opt.nu)
     assert all(x.dtype == jnp.bfloat16 for x in leaves_mu)
     assert all(x.dtype == jnp.float32 for x in leaves_nu)
+
+
+def test_train_itm_preemption_snapshot(synth, tmp_path_factory):
+    """A (simulated) SIGTERM mid-epoch saves biencoder.preempt and exits
+    cleanly, skipping eval/re-mining/test in the grace window."""
+    txt_dir, img_dir = synth
+    cfg = small_cfg_file(tmp_path_factory)
+    out_dir = str(tmp_path_factory.mktemp("out_pre"))
+    from lightningdot_tpu.cli.train_itm import main
+
+    results, state = main([
+        "--txt_model_config", cfg,
+        "--img_model_config", cfg,
+        "--train_txt_dbs", txt_dir,
+        "--train_img_dbs", img_dir,
+        "--val_txt_db", txt_dir,
+        "--val_img_db", img_dir,
+        "--test_txt_db", txt_dir,
+        "--test_img_db", img_dir,
+        "--train_batch_size", "16",
+        "--valid_batch_size", "16",
+        "--num_train_epochs", "4",
+        "--max_bb", "10", "--min_bb", "5", "--num_bb", "10",
+        "--max_txt_len", "30",
+        "--compute_dtype", "f32",
+        "--inf_minibatch_size", "16",
+        "--output_dir", out_dir,
+        "--sim_preempt_step", "1",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "biencoder.preempt.npz"))
+    assert not os.path.exists(os.path.join(out_dir, "biencoder.last.npz"))
+    assert "test" not in results  # grace window: no final test sweep
+    # the snapshot is a loadable fine-tune checkpoint
+    from lightningdot_tpu.training.checkpoints import load_checkpoint
+    _model, _opt, meta = load_checkpoint(
+        os.path.join(out_dir, "biencoder.preempt"),
+        model_template=state.params)
+    assert meta["step"] >= 1
