@@ -29,6 +29,11 @@ _SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
 def _is_whitespace(ch: str) -> bool:
     if ch in " \t\n\r":
         return True
+    # U+2028/29 (Zl/Zp): not whitespace to BasicTokenizer._clean_text, but
+    # whitespace_tokenize's str.split() splits on them — same effect as
+    # mapping to ' ' here (they never compose under NFC). Found by fuzzing.
+    if ch in "  ":
+        return True
     return unicodedata.category(ch) == "Zs"
 
 
@@ -114,12 +119,10 @@ class WordPieceTokenizer:
     # -- HF-compatible surface -------------------------------------------------
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         if self._handle is not None:
-            # NUL would truncate the C string; the tokenizer drops U+0000
-            # anyway (BasicTokenizer._clean_text), so stripping is
-            # identical. errors="ignore" drops lone surrogates — which the
-            # reference also drops (category Cs -> control) — instead of
-            # raising UnicodeEncodeError.
-            raw = text.replace("\x00", "").encode("utf-8", "ignore")
+            # errors="ignore" drops lone surrogates — which the reference
+            # also drops (category Cs -> control) — instead of raising
+            # UnicodeEncodeError.
+            raw = self._pre_native(text).encode("utf-8", "ignore")
             with self._buf_lock:
                 n = self._native.ldtok_encode(self._handle, raw,
                                               self._buf, len(self._buf))
@@ -134,6 +137,32 @@ class WordPieceTokenizer:
         if add_special_tokens:
             return [self.cls_token_id] + ids + [self.sep_token_id]
         return ids
+
+    def _pre_native(self, text: str) -> str:
+        """Host-side prep for the C library, matching HF's pipeline order
+        (clean -> CJK spacing -> **NFC**, BasicTokenizer.tokenize).
+
+        The C side has no Unicode normalizer, so for non-ASCII text the
+        clean/CJK/NFC stages run here (the C clean/CJK re-run is
+        idempotent on the prepped string). ASCII text — the hot serving
+        case — is NFC-invariant in every substring and skips the per-char
+        pass entirely (NUL stripping only: it would truncate the C string,
+        and _clean_text drops it anyway).
+        """
+        if text.isascii():
+            return text.replace("\x00", "")
+        chars: List[str] = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            if _is_cjk(cp):
+                chars.extend((" ", ch, " "))
+            elif _is_whitespace(ch):
+                chars.append(" ")
+            else:
+                chars.append(ch)
+        return unicodedata.normalize("NFC", "".join(chars))
 
     def tokenize(self, text: str) -> List[str]:
         if self._handle is not None:
@@ -182,7 +211,11 @@ class WordPieceTokenizer:
             else:
                 chars.append(ch)
         tokens: List[str] = []
-        for tok in "".join(chars).split(" "):
+        # HF normalizes AFTER cleaning/CJK spacing and BEFORE splitting
+        # ("prevents treating the same character with different unicode
+        # codepoints as different characters", BasicTokenizer.tokenize) —
+        # e.g. U+037E GREEK QUESTION MARK becomes ';' (found by fuzzing)
+        for tok in unicodedata.normalize("NFC", "".join(chars)).split(" "):
             if not tok:
                 continue
             if tok in _SPECIALS:

@@ -49,6 +49,9 @@ bool in_table(const uint32_t (*table)[2], size_t n, uint32_t cp) {
 
 bool is_whitespace(uint32_t cp) {
   if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') return true;
+  // U+2028/29 (Zl/Zp): python str.split() in HF's whitespace_tokenize
+  // splits on them even though _clean_text keeps them
+  if (cp == 0x2028 || cp == 0x2029) return true;
   return in_table(kCatZs, kCatZs_len, cp);
 }
 

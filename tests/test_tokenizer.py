@@ -146,3 +146,51 @@ def test_concurrent_encodes_thread_safe(vocab_path):
     with ThreadPoolExecutor(8) as pool:
         got = list(pool.map(t.encode, texts))
     assert got == want
+
+
+def test_fuzz_random_unicode_matches_hf(vocab_path):
+    """Seeded random-unicode fuzz vs the genuine HF tokenizer (this battery
+    found the missing NFC normalization — U+037E -> ';' etc.)."""
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file=vocab_path, do_lower_case=False)
+    nat = WordPieceTokenizer(vocab_path)
+    py = WordPieceTokenizer(vocab_path, use_native=False)
+    rng = random.Random(1234)
+
+    def rand_char():
+        r = rng.random()
+        if r < 0.5:
+            return chr(rng.randint(32, 126))
+        if r < 0.7:
+            return chr(rng.randint(0xA0, 0x2FFF))
+        if r < 0.85:
+            return chr(rng.randint(0x3000, 0xFFFD))
+        return chr(rng.randint(0x10000, 0x10FFFF))
+
+    for _ in range(600):
+        s = "".join(rand_char() for _ in range(rng.randint(0, 40)))
+        s = "".join(c for c in s if not 0xD800 <= ord(c) <= 0xDFFF)
+        want = hf.encode(s)
+        assert nat.encode(s) == want, repr(s)
+        assert py.encode(s) == want, repr(s)
+
+
+def test_nfc_normalization_cases(vocab_path):
+    """NFC singletons and decomposed sequences (HF normalizes pre-split)."""
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file=vocab_path, do_lower_case=False)
+    nat = WordPieceTokenizer(vocab_path)
+    py = WordPieceTokenizer(vocab_path, use_native=False)
+    cases = [
+        ";",                 # GREEK QUESTION MARK -> ';'
+        "naïve query",      # decomposed umlaut -> composed
+        "café café",   # e + combining acute == é
+        "Å vs Å",       # ANGSTROM SIGN -> Å
+        "中́ mark after CJK",
+    ]
+    for s in cases:
+        want = hf.encode(s)
+        assert nat.encode(s) == want, repr(s)
+        assert py.encode(s) == want, repr(s)
