@@ -53,6 +53,14 @@ def get_tokenizer(bert_name: str, vocab_file: str | None):
 
 def bert_tokenize(tokenizer, text: str):
     """Reconstructable per-word tokenization (prepro.py:25-43)."""
+    if hasattr(tokenizer, "encode_words"):
+        # one native call per caption instead of a Python loop per word
+        # (scripts/perf_prepro_tokenize.py has the throughput ladder)
+        ids, starts = tokenizer.encode_words(text)
+        toks = tokenizer.convert_ids_to_tokens(ids)
+        words = [t if s else f"{IN_WORD}{t}"
+                 for t, s in zip(toks, starts)]
+        return ids, words
     ids: List[int] = []
     words: List[str] = []
     for word in text.strip().split():

@@ -94,6 +94,11 @@ class WordPieceTokenizer:
                 lib.ldtok_encode.argtypes = [
                     ctypes.c_void_p, ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+                lib.ldtok_encode_words.restype = ctypes.c_int
+                lib.ldtok_encode_words.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
                 lib.ldtok_free.restype = None
                 lib.ldtok_free.argtypes = [ctypes.c_void_p]
                 handle = lib.ldtok_new(vocab_file.encode())
@@ -101,6 +106,7 @@ class WordPieceTokenizer:
                     self._native = lib
                     self._handle = handle
                     self._buf = (ctypes.c_int32 * 512)()
+                    self._ws_buf = (ctypes.c_uint8 * 512)()
                     # ctypes releases the GIL during the C call, so two
                     # threads could interleave writes into the shared
                     # result buffer (the batching frontend encodes from
@@ -137,6 +143,54 @@ class WordPieceTokenizer:
         if add_special_tokens:
             return [self.cls_token_id] + ids + [self.sep_token_id]
         return ids
+
+    def encode_words(self, text: str):
+        """(ids, word_starts) — prepro's reconstructable per-word protocol
+        (bert_tokenize, uniter_model/prepro.py:25-43) in one call:
+        word_starts[i] is True when ids[i] begins a new raw-whitespace
+        word (continuation pieces get the IN_WORD prefix downstream)."""
+        if self._handle is not None:
+            raw = self._prep_words(text).encode("utf-8", "ignore")
+            with self._buf_lock:
+                n = self._native.ldtok_encode_words(
+                    self._handle, raw, self._buf, self._ws_buf,
+                    len(self._buf))
+                if n > len(self._buf):
+                    self._buf = (ctypes.c_int32 * (2 * n))()
+                    self._ws_buf = (ctypes.c_uint8 * (2 * n))()
+                    n = self._native.ldtok_encode_words(
+                        self._handle, raw, self._buf, self._ws_buf,
+                        len(self._buf))
+                return list(self._buf[:n]), [bool(b)
+                                             for b in self._ws_buf[:n]]
+        ids: List[int] = []
+        starts: List[bool] = []
+        for word in text.split():
+            for j, p in enumerate(self._tokenize_py(word)):
+                ids.append(self.vocab.get(p, self.unk_token_id))
+                starts.append(j == 0)
+        return ids, starts
+
+    def _prep_words(self, text: str) -> str:
+        """Prep for encode_words: clean + NFC, NO CJK spacing (the C side
+        inserts CJK separators itself and must distinguish them from real
+        whitespace for the word-start flags). NFC-before-CJK is safe: no
+        canonical composition pair has a CJK-ideograph base."""
+        # word boundaries follow RAW str.split() (bert_tokenize), which
+        # also splits on isspace() control chars (\\x1c-\\x1f, \\x0b...)
+        # that _clean_text would drop — map them to ' ' up front
+        if text.isascii():
+            return " ".join(text.replace("\x00", "").split())
+        chars: List[str] = []
+        for ch in text:
+            if ch.isspace():
+                chars.append(" ")
+                continue
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            chars.append(ch)
+        return unicodedata.normalize("NFC", "".join(chars))
 
     def _pre_native(self, text: str) -> str:
         """Host-side prep for the C library, matching HF's pipeline order

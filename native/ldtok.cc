@@ -184,32 +184,51 @@ struct Tok {
     out.insert(out.end(), ids.begin(), ids.end());
   }
 
-  int encode(const char* text, int32_t* out, int cap) const {
+  // encode with per-id word-start flags (1 = this id begins a new
+  // whitespace-delimited word) — the reconstructable per-word protocol of
+  // prepro (uniter_model/prepro.py:25-43) in one call. ws == nullptr
+  // degrades to plain encode.
+  int encode(const char* text, int32_t* out, uint8_t* ws, int cap) const {
     const std::string s(text);
-    // pass 1: clean + CJK spacing into a codepoint stream
+    // pass 1: clean + CJK spacing into a codepoint stream. `real` marks
+    // separators that came from actual input whitespace — CJK-inserted
+    // spaces split tokens for wordpiece but do NOT start a new word in
+    // the reconstructable per-word protocol (prepro splits the RAW text).
     std::vector<uint32_t> cps;
+    std::vector<uint8_t> real;
     cps.reserve(s.size());
+    real.reserve(s.size());
     size_t i = 0;
     while (i < s.size()) {
       uint32_t cp = decode(s, i);
       if (cp == 0 || cp == 0xFFFD || is_control(cp)) continue;
       if (is_cjk(cp)) {
         cps.push_back(' ');
+        real.push_back(0);
         cps.push_back(cp);
+        real.push_back(1);
         cps.push_back(' ');
+        real.push_back(0);
         continue;
       }
       cps.push_back(is_whitespace(cp) ? ' ' : cp);
+      real.push_back(1);
     }
     std::vector<int32_t> ids;
+    std::vector<uint8_t> starts;
     // pass 2: space-split -> special passthrough / punct split -> wordpiece
     size_t lo = 0;
     const size_t n = cps.size();
+    bool new_word = true;
     while (lo < n) {
-      while (lo < n && cps[lo] == ' ') ++lo;
+      while (lo < n && cps[lo] == ' ') {
+        if (real[lo]) new_word = true;
+        ++lo;
+      }
       size_t hi = lo;
       while (hi < n && cps[hi] != ' ') ++hi;
       if (hi > lo) {
+        const size_t before = ids.size();
         // special tokens (e.g. [CLS]) pass through unsplit
         std::string token;
         for (size_t k = lo; k < hi; ++k) encode_utf8(cps[k], token);
@@ -238,11 +257,17 @@ struct Tok {
             }
           }
         }
+        if (ids.size() > before) {
+          starts.resize(ids.size(), 0);
+          starts[before] = new_word ? 1 : 0;
+          new_word = false;
+        }
       }
       lo = hi;
     }
     const int m = (int)ids.size() < cap ? (int)ids.size() : cap;
     std::memcpy(out, ids.data(), m * sizeof(int32_t));
+    if (ws != nullptr && m > 0) std::memcpy(ws, starts.data(), m);
     return (int)ids.size();  // caller re-calls with a bigger buffer if > cap
   }
 };
@@ -282,7 +307,13 @@ void ldtok_free(void* h) { delete static_cast<Tok*>(h); }
 // Returns the total number of ids produced (may exceed cap; only the first
 // min(n, cap) are written — re-call with a larger buffer to get the rest).
 int ldtok_encode(void* h, const char* text, int32_t* out, int cap) {
-  return static_cast<Tok*>(h)->encode(text, out, cap);
+  return static_cast<Tok*>(h)->encode(text, out, nullptr, cap);
+}
+
+// encode + per-id word-start flags (prepro's reconstructable protocol)
+int ldtok_encode_words(void* h, const char* text, int32_t* out, uint8_t* ws,
+                       int cap) {
+  return static_cast<Tok*>(h)->encode(text, out, ws, cap);
 }
 
 }  // extern "C"

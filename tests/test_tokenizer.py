@@ -194,3 +194,34 @@ def test_nfc_normalization_cases(vocab_path):
         want = hf.encode(s)
         assert nat.encode(s) == want, repr(s)
         assert py.encode(s) == want, repr(s)
+
+
+def test_encode_words_matches_per_word_protocol(vocab_path):
+    """encode_words == bert_tokenize's per-word HF loop (ids AND the
+    word-start structure), native and fallback, incl. CJK-inside-word and
+    control-char splits."""
+    from transformers import BertTokenizer
+
+    from lightningdot_tpu.cli.prepro import IN_WORD, bert_tokenize
+
+    hf = BertTokenizer(vocab_file=vocab_path, do_lower_case=False)
+
+    def ref(text):
+        ids, words = [], []
+        for word in text.strip().split():
+            ws = hf.tokenize(word)
+            if not ws:
+                continue
+            words.append(ws[0])
+            words.extend(f"{IN_WORD}{w}" for w in ws[1:])
+            ids.extend(hf.convert_tokens_to_ids(ws))
+        return ids, words
+
+    nat = WordPieceTokenizer(vocab_path)
+    py = WordPieceTokenizer(vocab_path, use_native=False)
+    cases = TRICKY + ["中Hello国 mixed", "a\x1cb c", "[MASK] word",
+                      "naïve don't@stop ..."]
+    for s in cases:
+        want = ref(s)
+        assert bert_tokenize(nat, s) == want, repr(s)
+        assert bert_tokenize(py, s) == want, repr(s)
