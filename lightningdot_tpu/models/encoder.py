@@ -476,7 +476,9 @@ def encode_image(params: Params, cfg: EncoderConfig, cls_input_ids,
     uniter_model/data/data.py:286-294 identity gather).
 
     Args:
-      cls_input_ids: [B, 1] (always token 101, dvl/data/itm.py:74).
+      cls_input_ids: [B, 1] (always token 101, dvl/data/itm.py:74 — so
+        cfg.vocab_size must exceed 101 even for toy models; jnp.take
+        fills out-of-bounds gathers with NaN).
       attention_mask: [B, 1+R].
       img_feat: [B, R, img_dim]; img_pos_feat: [B, R, 7].
     """
