@@ -188,16 +188,15 @@ def main():
     p50_ms = slopes[2] * 1000.0
 
     # batched-query throughput on the same corpus/program family
-    mask64 = jnp.ones((64, QUERY_LEN), jnp.int32)
-    ids64 = jnp.asarray(rng.integers(106, 28996, (64, QUERY_LEN)),
-                        dtype=jnp.int32)
-
-    def batch64_qps(r):
+    def batch64_qps(r, qlen=QUERY_LEN):
         """Median-of-5 slope QPS for one Retriever's batched query program
         (same while_loop + host-pull methodology as the single-query block
         above). Params/corpus/scales are jit ARGUMENTS — closures bake
         them into the HLO and the relay rejects the upload."""
-        qfn = r._query_fn(QUERY_LEN, TOP_K)
+        mask64 = jnp.ones((64, qlen), jnp.int32)
+        ids64 = jnp.asarray(rng.integers(106, 28996, (64, qlen)),
+                            dtype=jnp.int32)
+        qfn = r._query_fn(qlen, TOP_K)
         sc = (r._scales if r._scales is not None
               else jnp.zeros((0,), jnp.float32))
 
@@ -253,6 +252,9 @@ def main():
     retriever_q.set_corpus([f"coco_{i:012}.npz" for i in range(N_CORPUS)],
                            corpus)
     qps64q = batch64_qps(retriever_q)
+    # typical caption-length queries land in the 16-token bucket of the
+    # Retriever ladder (tower work halves; PERF.md bucket sweep)
+    qps64q16 = batch64_qps(retriever_q, qlen=16)
 
     tok_ms_hf, tok_ms_native = _real_tokenizer_ms()
 
@@ -272,6 +274,8 @@ def main():
         "batch64_qps_approx_topk": round(qps64a),
         # int8 tower + int8 corpus + approx top-k (QPS-optimal, PERF.md)
         "batch64_qps_best_config": round(qps64q),
+        # same config at the 16-token query bucket (typical captions)
+        "batch64_qps_16tok_queries": round(qps64q16),
     }))
 
 

@@ -294,14 +294,10 @@ def main(cmds=None):
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     start = time.time()
-    micro_step = 0
-    last_validated = -1
-    results = {}
 
     LOGGER.info("start pre-training: %d steps, tasks=%s",
                 args.num_train_steps, list(train_loaders))
     from lightningdot_tpu.data.padding import Recycler
-    from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
     from lightningdot_tpu.utils.preemption import PreemptionGuard
 
     # recycle spent host batches into the padding buffer pool once the step
@@ -309,7 +305,35 @@ def main(cmds=None):
     recycler = Recycler()
     guard = PreemptionGuard(
         sim_after_step=getattr(args, "sim_preempt_step", None))
-    guard.__enter__()
+    preempted = False
+    with guard:  # restores the SIGTERM handler even if the loop raises
+        results, state, last_validated, global_step, preempted = _train_loop(
+            args, meta_loader, step_for_task, state, rng, guard, recycler,
+            task2loss, pending_loss, log_every, n_examples, start, lr_fn,
+            model, val_loaders, validate_fn, saver, global_step)
+
+    if last_validated != global_step:  # avoid a duplicate final sweep
+        saver.save(state.params, global_step, optimizer=state.opt_state)
+        results = validate(model, state.params, val_loaders, validate_fn,
+                           global_step)
+    saver.wait()  # drain the async writer before returning
+    if preempted:
+        LOGGER.warning("exiting after preemption checkpoint at step %d "
+                       "(resume by re-running the same command)",
+                       global_step)
+    return results, state
+
+
+def _train_loop(args, meta_loader, step_for_task, state, rng, guard,
+                recycler, task2loss, pending_loss, log_every, n_examples,
+                start, lr_fn, model, val_loaders, validate_fn, saver,
+                global_step):
+    """The hot loop (factored so the PreemptionGuard wraps it in a with)."""
+    from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
+
+    micro_step = 0
+    last_validated = -1
+    results = {}
     preempted = False
 
     for name, batch in meta_loader:
@@ -346,15 +370,11 @@ def main(cmds=None):
                 TB_LOGGER.log_metric("lr", float(lr_fn(global_step)))
                 for t, meter in task2loss.items():
                     TB_LOGGER.log_metric(meter.name, meter.val)
-            if global_step % args.valid_steps == 0:
-                results = validate(model, state.params, val_loaders,
-                                   validate_fn, global_step)
-                last_validated = global_step
-                saver.save(state.params, global_step,
-                           optimizer=state.opt_state)
+            # preemption check BEFORE the periodic validation: a SIGTERM
+            # landing on a valid_steps boundary must not spend the grace
+            # window on a full validation sweep
             if guard.check(global_step):
-                # preemption: checkpoint NOW (skip validation — the grace
-                # window is short) and exit cleanly; auto-resume picks the
+                # checkpoint NOW and exit cleanly; auto-resume picks the
                 # run up from this exact step
                 LOGGER.warning("preempted at step %d: saving and exiting",
                                global_step)
@@ -363,21 +383,16 @@ def main(cmds=None):
                 last_validated = global_step  # suppress the final sweep
                 preempted = True
                 break
+            if global_step % args.valid_steps == 0:
+                results = validate(model, state.params, val_loaders,
+                                   validate_fn, global_step)
+                last_validated = global_step
+                saver.save(state.params, global_step,
+                           optimizer=state.opt_state)
         if global_step >= args.num_train_steps:
             break
     recycler.flush()
-    guard.__exit__()
-
-    if last_validated != global_step:  # avoid a duplicate final sweep
-        saver.save(state.params, global_step, optimizer=state.opt_state)
-        results = validate(model, state.params, val_loaders, validate_fn,
-                           global_step)
-    saver.wait()  # drain the async writer before returning
-    if preempted:
-        LOGGER.warning("exiting after preemption checkpoint at step %d "
-                       "(resume by re-running the same command)",
-                       global_step)
-    return results, state
+    return results, state, last_validated, global_step, preempted
 
 
 if __name__ == "__main__":

@@ -196,98 +196,100 @@ def main(cmds=None):
         sim_after_step=getattr(args, "sim_preempt_step", None))
     guard.__enter__()
 
-    for epoch in range(args.num_train_epochs):
-        LOGGER.info("*" * 70)
-        train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
-        train_dataloader = build_dataloader(train_dataset, collate, True, args)
-        t0 = time.time()
-        n_ex = 0
-        # host pulls are expensive on remote-attached TPUs: log the metrics
-        # of the PREVIOUS log interval (already materialized) rather than
-        # synchronizing on the step just dispatched
-        pending = None
+    try:
+        for epoch in range(args.num_train_epochs):
+            LOGGER.info("*" * 70)
+            train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
+            train_dataloader = build_dataloader(train_dataset, collate, True, args)
+            t0 = time.time()
+            n_ex = 0
+            # host pulls are expensive on remote-attached TPUs: log the metrics
+            # of the PREVIOUS log interval (already materialized) rather than
+            # synchronizing on the step just dispatched
+            pending = None
 
-        def prepare(b):
-            """Teacher grid built one batch ahead of the train step."""
-            if teacher is not None:
-                b["teacher"] = make_teacher_batch(b, n_teacher=n_teacher)
-            return b
+            def prepare(b):
+                """Teacher grid built one batch ahead of the train step."""
+                if teacher is not None:
+                    b["teacher"] = make_teacher_batch(b, n_teacher=n_teacher)
+                return b
 
-        from lightningdot_tpu.data.loader import DevicePrefetcher
-        from lightningdot_tpu.data.padding import Recycler
+            from lightningdot_tpu.data.loader import DevicePrefetcher
+            from lightningdot_tpu.data.padding import Recycler
 
-        recycler = Recycler()
-        for step, batch in enumerate(
-                DevicePrefetcher(train_dataloader, put=prepare)):
-            state, metrics = train_step(state, batch,
-                                        jax.random.fold_in(rng, global_step))
-            global_step += 1
-            n_ex += batch["n_valid"]
-            recycler.push(batch, ready=metrics["loss"])
-            if (step + 1) % args.log_result_step == 0:
-                if pending is not None:
-                    loss = float(pending["loss"])
-                    loss_meter(loss)
-                    # optimizer updates advance once per accum window
-                    n_updates = global_step // args.gradient_accumulation_steps
-                    lr = float(lr_schedule(n_updates))
-                    LOGGER.info(
-                        "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
-                        "(%.1f ex/s)", epoch, step + 1,
-                        len(train_dataloader), loss,
-                        float(pending["acc"]), lr,
-                        n_ex / max(time.time() - t0, 1e-6))
-                    TB_LOGGER.set_step(global_step)
-                    TB_LOGGER.log_metric("loss_train", loss)
-                    TB_LOGGER.log_metric("lr", lr)
-                pending = metrics
-            if guard.check(global_step):
+            recycler = Recycler()
+            for step, batch in enumerate(
+                    DevicePrefetcher(train_dataloader, put=prepare)):
+                state, metrics = train_step(state, batch,
+                                            jax.random.fold_in(rng, global_step))
+                global_step += 1
+                n_ex += batch["n_valid"]
+                recycler.push(batch, ready=metrics["loss"])
+                if (step + 1) % args.log_result_step == 0:
+                    if pending is not None:
+                        loss = float(pending["loss"])
+                        loss_meter(loss)
+                        # optimizer updates advance once per accum window
+                        n_updates = global_step // args.gradient_accumulation_steps
+                        lr = float(lr_schedule(n_updates))
+                        LOGGER.info(
+                            "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
+                            "(%.1f ex/s)", epoch, step + 1,
+                            len(train_dataloader), loss,
+                            float(pending["acc"]), lr,
+                            n_ex / max(time.time() - t0, 1e-6))
+                        TB_LOGGER.set_step(global_step)
+                        TB_LOGGER.log_metric("loss_train", loss)
+                        TB_LOGGER.log_metric("lr", lr)
+                    pending = metrics
+                if guard.check(global_step):
+                    break
+            recycler.flush()
+            if guard.requested:
+                # preemption: snapshot (model + step + epoch) and exit cleanly;
+                # continue later via --biencoder_checkpoint biencoder.preempt
+                LOGGER.warning("preempted at step %d (epoch %d): saving "
+                               "biencoder.preempt and exiting", global_step,
+                               epoch)
+                save_checkpoint(
+                    os.path.join(args.output_dir, "biencoder.preempt"),
+                    model=state.params, step=global_step, epoch=epoch)
                 break
-        recycler.flush()
-        if guard.requested:
-            # preemption: snapshot (model + step + epoch) and exit cleanly;
-            # continue later via --biencoder_checkpoint biencoder.preempt
-            LOGGER.warning("preempted at step %d (epoch %d): saving "
-                           "biencoder.preempt and exiting", global_step,
-                           epoch)
-            save_checkpoint(
-                os.path.join(args.output_dir, "biencoder.preempt"),
+
+            # eval and save (train_itm.py:313-349)
+            result = eval_model_on_dataloader(
+                model, state.params, val_dataloader, img2txt=val_img2txt,
+                vector_size=args.vector_size,
+                caption_score_weight=args.caption_score_weight)
+            recall_txt, recall_img = result.recall
+            recall_val = {t: (recall_txt[t] + recall_img[t]) / 2
+                          for t in recall_txt}
+            current = float(np.mean(list(recall_val.values())))
+            LOGGER.info("epoch %d: val loss=%.4f recall=%s (mean %.4f)",
+                        epoch, result.loss, recall_val, current)
+            TB_LOGGER.log_scalar_dict(
+                {f"R@{k}": v for k, v in recall_val.items()}, prefix="val")
+
+            ckpt = lambda name: save_checkpoint(
+                os.path.join(args.output_dir, f"biencoder.{name}"),
                 model=state.params, step=global_step, epoch=epoch)
-            break
+            if current > best_eval_metric:
+                best_eval_metric = current
+                ckpt("best")
+            ckpt("last")
+            if args.save_all_epochs:
+                ckpt(str(epoch))
 
-        # eval and save (train_itm.py:313-349)
-        result = eval_model_on_dataloader(
-            model, state.params, val_dataloader, img2txt=val_img2txt,
-            vector_size=args.vector_size,
-            caption_score_weight=args.caption_score_weight)
-        recall_txt, recall_img = result.recall
-        recall_val = {t: (recall_txt[t] + recall_img[t]) / 2
-                      for t in recall_txt}
-        current = float(np.mean(list(recall_val.values())))
-        LOGGER.info("epoch %d: val loss=%.4f recall=%s (mean %.4f)",
-                    epoch, result.loss, recall_val, current)
-        TB_LOGGER.log_scalar_dict(
-            {f"R@{k}": v for k, v in recall_val.items()}, prefix="val")
+            # re-mine hard negatives (train_itm.py:351-358)
+            if args.num_hard_negatives > 0:
+                hard_neg_txt, hard_neg_img = hn_mod.sampled_hard_negatives(
+                    model, state.params, train_dataset.datasets, eval_collate,
+                    args, train_img2txt, train_txt2img, rng=rng_py)
+            else:
+                assert args.hard_negatives_sampling in ("none", "random")
 
-        ckpt = lambda name: save_checkpoint(
-            os.path.join(args.output_dir, f"biencoder.{name}"),
-            model=state.params, step=global_step, epoch=epoch)
-        if current > best_eval_metric:
-            best_eval_metric = current
-            ckpt("best")
-        ckpt("last")
-        if args.save_all_epochs:
-            ckpt(str(epoch))
-
-        # re-mine hard negatives (train_itm.py:351-358)
-        if args.num_hard_negatives > 0:
-            hard_neg_txt, hard_neg_img = hn_mod.sampled_hard_negatives(
-                model, state.params, train_dataset.datasets, eval_collate,
-                args, train_img2txt, train_txt2img, rng=rng_py)
-        else:
-            assert args.hard_negatives_sampling in ("none", "random")
-
-    guard.__exit__()
+    finally:
+        guard.__exit__()  # restore SIGTERM even if an epoch raises
     results = {"best_val_recall_mean": best_eval_metric}
     if guard.requested:  # skip the final test sweep in the grace window
         return results, state

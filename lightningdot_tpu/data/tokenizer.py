@@ -58,6 +58,39 @@ def _is_cjk(cp: int) -> bool:
             or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
 
+def _clean_and_space(text: str, *, cjk: bool, raw_split_ws: bool = False
+                     ) -> str:
+    """clean -> (optional CJK spacing) -> NFC, in HF's pipeline order.
+
+    One implementation shared by the pure-Python pipeline (`_basic`) and
+    both native-path preps — these must stay byte-identical for
+    native/python/HF agreement. ``raw_split_ws`` maps every str.isspace()
+    char to ' ' first (raw str.split() word-boundary semantics for the
+    per-word prepro protocol: it splits on \\x1c-\\x1f etc. that
+    _clean_text would drop).
+
+    HF normalizes to NFC AFTER cleaning/CJK spacing and BEFORE splitting
+    ("prevents treating the same character with different unicode
+    codepoints as different characters", BasicTokenizer.tokenize) — e.g.
+    U+037E GREEK QUESTION MARK becomes ';' (found by fuzzing).
+    """
+    chars: List[str] = []
+    for ch in text:
+        if raw_split_ws and ch.isspace():
+            chars.append(" ")
+            continue
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if cjk and _is_cjk(cp):
+            chars.extend((" ", ch, " "))
+        elif _is_whitespace(ch):
+            chars.append(" ")
+        else:
+            chars.append(ch)
+    return unicodedata.normalize("NFC", "".join(chars))
+
+
 class WordPieceTokenizer:
     """BERT tokenizer over an HF-format ``vocab.txt`` (one token per line).
 
@@ -87,6 +120,11 @@ class WordPieceTokenizer:
             from lightningdot_tpu.native_build import load_native
 
             lib = load_native("ldtok")
+            if lib is not None and not hasattr(lib, "ldtok_encode_words"):
+                # stale prebuilt .so from before the words API (a host
+                # without a toolchain can't rebuild it): degrade to the
+                # pure-Python path rather than crash on symbol binding
+                lib = None
             if lib is not None:
                 lib.ldtok_new.restype = ctypes.c_void_p
                 lib.ldtok_new.argtypes = [ctypes.c_char_p]
@@ -181,16 +219,7 @@ class WordPieceTokenizer:
         # that _clean_text would drop — map them to ' ' up front
         if text.isascii():
             return " ".join(text.replace("\x00", "").split())
-        chars: List[str] = []
-        for ch in text:
-            if ch.isspace():
-                chars.append(" ")
-                continue
-            cp = ord(ch)
-            if cp == 0 or cp == 0xFFFD or _is_control(ch):
-                continue
-            chars.append(ch)
-        return unicodedata.normalize("NFC", "".join(chars))
+        return _clean_and_space(text, cjk=False, raw_split_ws=True)
 
     def _pre_native(self, text: str) -> str:
         """Host-side prep for the C library, matching HF's pipeline order
@@ -205,18 +234,7 @@ class WordPieceTokenizer:
         """
         if text.isascii():
             return text.replace("\x00", "")
-        chars: List[str] = []
-        for ch in text:
-            cp = ord(ch)
-            if cp == 0 or cp == 0xFFFD or _is_control(ch):
-                continue
-            if _is_cjk(cp):
-                chars.extend((" ", ch, " "))
-            elif _is_whitespace(ch):
-                chars.append(" ")
-            else:
-                chars.append(ch)
-        return unicodedata.normalize("NFC", "".join(chars))
+        return _clean_and_space(text, cjk=True)
 
     def tokenize(self, text: str) -> List[str]:
         if self._handle is not None:
@@ -253,23 +271,8 @@ class WordPieceTokenizer:
         return out
 
     def _basic(self, text: str) -> List[str]:
-        chars: List[str] = []
-        for ch in text:
-            cp = ord(ch)
-            if cp == 0 or cp == 0xFFFD or _is_control(ch):
-                continue
-            if _is_cjk(cp):
-                chars.extend((" ", ch, " "))
-            elif _is_whitespace(ch):
-                chars.append(" ")
-            else:
-                chars.append(ch)
         tokens: List[str] = []
-        # HF normalizes AFTER cleaning/CJK spacing and BEFORE splitting
-        # ("prevents treating the same character with different unicode
-        # codepoints as different characters", BasicTokenizer.tokenize) —
-        # e.g. U+037E GREEK QUESTION MARK becomes ';' (found by fuzzing)
-        for tok in unicodedata.normalize("NFC", "".join(chars)).split(" "):
+        for tok in _clean_and_space(text, cjk=True).split(" "):
             if not tok:
                 continue
             if tok in _SPECIALS:

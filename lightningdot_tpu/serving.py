@@ -241,6 +241,11 @@ class Retriever:
             data["scales"] if "scales" in data.files else None)
         self._fns.clear()
 
+    @property
+    def corpus_size(self) -> int:
+        """Number of indexed corpus entries (excludes padding rows)."""
+        return len(self._ids)
+
     def _enc_params(self):
         return self._qtower if self._qtower is not None else self.params
 

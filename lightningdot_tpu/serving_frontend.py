@@ -25,7 +25,7 @@ import threading
 import time
 from collections import deque
 from concurrent.futures import Future, InvalidStateError
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 
 class BatchingFrontend:
@@ -34,12 +34,18 @@ class BatchingFrontend:
 
     def __init__(self, retriever, max_batch: int = 64,
                  max_wait_ms: float = 2.0,
-                 batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)):
+                 batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+                 max_top: int = 100):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.retriever = retriever
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # every dispatch runs at this fixed k and slices per request:
+        # top-k is part of the compiled-program key, so client-controlled
+        # values would compile (and cache) one program per distinct k —
+        # 30 s - 2 min each through the relay, while holding the call lock
+        self.max_top = max_top
         # group sizes pad up this ladder (static shapes: every distinct
         # batch size is a separate compiled program through the relay)
         self.batch_buckets = sorted(b for b in set(batch_buckets)
@@ -74,7 +80,12 @@ class BatchingFrontend:
 
     # -- client API ----------------------------------------------------------
     def submit(self, query: str, top: int = 100) -> "Future":
-        """Enqueue a query; the future resolves to [(db_id, score)]."""
+        """Enqueue a query; the future resolves to [(db_id, score)].
+
+        ``top`` must be in [1, max_top] (the device call always runs at
+        max_top; results slice per request)."""
+        if not 1 <= top <= self.max_top:
+            raise ValueError(f"top must be in [1, {self.max_top}]")
         fut: Future = Future()
         with self._cond:
             # checked under the lock: a submit racing close() must either
@@ -95,13 +106,16 @@ class BatchingFrontend:
         futs = [self.submit(q, top) for q in queries]
         return [f.result() for f in futs]
 
-    def warmup(self, top: int = 100, query: str = "warmup") -> None:
+    def warmup(self, top: Optional[int] = None, query: str = "warmup"
+               ) -> None:
         """Precompile one program per batch bucket (at ``query``'s length
-        bucket). Other (length, top) shapes compile on first use. Safe on
-        a live frontend: each call takes the device-call lock."""
+        bucket and the dispatch k = max_top). Other length shapes compile
+        on first use. Safe on a live frontend: each call takes the
+        device-call lock."""
         for b in self.batch_buckets:
             with self._call_lock:
-                self.retriever.retrieve_batch([query] * b, top=top)
+                self.retriever.retrieve_batch(
+                    [query] * b, top=self.max_top if top is None else top)
 
     def close(self) -> None:
         """Drain outstanding requests and stop the worker threads."""
@@ -152,8 +166,7 @@ class BatchingFrontend:
             if group is None:
                 break
             queries = [q for q, _, _ in group]
-            tops = [t for _, t, _ in group]
-            k = max(tops)
+            k = self.max_top  # fixed k: one compiled program per shape
             # pad the group up the batch-bucket ladder so every dispatch
             # reuses one of a bounded set of compiled programs
             nb = next(b for b in self.batch_buckets if b >= len(queries))

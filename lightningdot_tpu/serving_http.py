@@ -42,7 +42,7 @@ def make_handler(frontend: BatchingFrontend, default_top: int = 100):
             url = urlparse(self.path)
             if url.path == "/healthz":
                 self._reply(200, {"ok": True,
-                                  "corpus": len(frontend.retriever._ids)})
+                                  "corpus": frontend.retriever.corpus_size})
                 return
             if url.path != "/search":
                 self._reply(404, {"error": "unknown path"})
@@ -56,6 +56,11 @@ def make_handler(frontend: BatchingFrontend, default_top: int = 100):
                 top = int((q.get("top") or [str(default_top)])[0])
             except ValueError:
                 self._reply(400, {"error": "top must be an integer"})
+                return
+            if not 1 <= top <= frontend.max_top:
+                # client-controlled k must never reach the compile cache
+                self._reply(400, {"error": f"top must be in "
+                                           f"[1, {frontend.max_top}]"})
                 return
             try:
                 results = frontend.retrieve(text, top=top)

@@ -43,10 +43,24 @@ class PreemptionGuard:
         self.requested = True
 
     def check(self, global_step: int) -> bool:
-        """True once preemption was requested (or simulated)."""
+        """True once preemption was requested (or simulated) on ANY host.
+
+        Multi-host: SIGTERMs from the scheduler land tens of ms apart, so
+        one host can latch before a step boundary while another latches
+        after — if each acted on its local flag alone, the late host would
+        enter the next step's collectives without the early one and hang.
+        The flag is OR-reduced across hosts (free on a single host), so
+        every host exits at the same boundary.
+        """
         if (self.sim_after_step is not None
                 and global_step >= self.sim_after_step):
             self.requested = True
+        import jax
+
+        if jax.process_count() > 1:
+            from lightningdot_tpu.utils.misc import host_all_gather
+
+            self.requested = any(host_all_gather(self.requested))
         return self.requested
 
     def __enter__(self) -> "PreemptionGuard":

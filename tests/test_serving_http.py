@@ -51,8 +51,24 @@ def test_concurrent_http_requests_coalesce(server):
 
 
 def test_error_codes(server):
+    # top outside [1, max_top] must 400 BEFORE reaching the device: a
+    # client-controlled k would otherwise compile (and cache) one program
+    # per value, or crash the coalesced batch on top<0
     for path, code in [("/nope", 404), ("/search", 400),
-                       ("/search?q=x&top=abc", 400)]:
+                       ("/search?q=x&top=abc", 400),
+                       ("/search?q=x&top=0", 400),
+                       ("/search?q=x&top=-1", 400),
+                       ("/search?q=x&top=101", 400)]:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(f"{server.address}{path}")
         assert ei.value.code == code
+
+
+def test_submit_rejects_bad_top(retriever):
+    with BatchingFrontend(retriever, max_batch=4, max_wait_ms=1.0,
+                          max_top=50) as fe:
+        with pytest.raises(ValueError):
+            fe.submit("q", top=0)
+        with pytest.raises(ValueError):
+            fe.submit("q", top=51)
+        assert len(fe.retrieve("q", top=50)) == 50
