@@ -79,6 +79,9 @@ def build_parser():
     p.add_argument("--warmup_steps", default=500, type=int)
     p.add_argument("--max_grad_norm", default=2.0, type=float)
     p.add_argument("--valid_steps", default=500, type=int)
+    p.add_argument("--sim_preempt_step", type=int, default=None,
+                   help="fault injection: act as if SIGTERM arrived at "
+                        "this global step")
     p.add_argument("--max_txt_len", default=60, type=int)
     p.add_argument("--conf_th", default=0.2, type=float)
     p.add_argument("--max_bb", default=100, type=int)
@@ -273,29 +276,37 @@ def main(cmds=None):
         mine(state)  # initial mining pass (train_itm.py:191-193)
 
     from lightningdot_tpu.data.padding import Recycler
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     global_step = 0
     t0 = time.time()
     losses = []
     recycler = Recycler()  # pool spent host batches (see padding.Recycler)
-    while global_step < args.num_train_steps:
-        fn, mb = next_batch(global_step)
-        state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))
-        losses.append(loss)
-        recycler.push(mb, ready=loss)
-        global_step += 1
-        if global_step % max(args.valid_steps, 1) == 0 or \
-                global_step >= args.num_train_steps:
-            mean_loss = float(np.mean([float(l) for l in losses[-50:]]))
-            LOGGER.info("step %d: triplet loss=%.4f (%.1f steps/s)",
-                        global_step, mean_loss,
-                        global_step / (time.time() - t0))
-        if (mine is not None and args.steps_per_hard_neg > 0
-                and global_step % args.steps_per_hard_neg == 0
-                and global_step < args.num_train_steps):
-            # periodic re-mining (train_itm.py:266-270)
-            mine(state)
+    with PreemptionGuard(sim_after_step=getattr(
+            args, "sim_preempt_step", None)) as guard:
+        while global_step < args.num_train_steps:
+            fn, mb = next_batch(global_step)
+            state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))
+            losses.append(loss)
+            recycler.push(mb, ready=loss)
+            global_step += 1
+            if guard.check(global_step):
+                # preemption: skip straight to the directory save below
+                LOGGER.warning("preempted at step %d: saving the teacher "
+                               "directory and exiting", global_step)
+                break
+            if global_step % max(args.valid_steps, 1) == 0 or \
+                    global_step >= args.num_train_steps:
+                mean_loss = float(np.mean([float(l) for l in losses[-50:]]))
+                LOGGER.info("step %d: triplet loss=%.4f (%.1f steps/s)",
+                            global_step, mean_loss,
+                            global_step / (time.time() - t0))
+            if (mine is not None and args.steps_per_hard_neg > 0
+                    and global_step % args.steps_per_hard_neg == 0
+                    and global_step < args.num_train_steps):
+                # periodic re-mining (train_itm.py:266-270)
+                mine(state)
     recycler.flush()
 
     # save the teacher directory (consumable by _load_teacher / rerank)

@@ -68,3 +68,36 @@ def test_teacher_train_then_kd_and_rerank(tmp_path_factory):
         "--max_bb", "10", "--min_bb", "5", "--compute_dtype", "f32",
         "--teacher_checkpoint", teacher_dir])
     assert "rerank_img_top10" in rr
+
+
+def test_teacher_preemption_saves_directory(tmp_path_factory):
+    """A (simulated) SIGTERM mid-run still writes the consumable teacher
+    directory (config.json + model) before exiting."""
+    root = tmp_path_factory.mktemp("teach_pre")
+    txt_dir, img_dir = make_synth_dataset(str(root), n_imgs=8, txts_per_img=2,
+                                          img_dim=32, min_bb=5, max_bb=10,
+                                          max_txt_len=20, seed=4)
+    cfg_path = str(tmp_path_factory.mktemp("cfgp") / "small.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"vocab_size": 28996, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 4,
+                   "intermediate_size": 64, "max_position_embeddings": 64,
+                   "img_dim": 32, "hidden_dropout_prob": 0.0,
+                   "attention_probs_dropout_prob": 0.0}, f)
+    teacher_dir = str(tmp_path_factory.mktemp("teacher_pre_out"))
+
+    from lightningdot_tpu.cli.train_teacher import main as teach_main
+
+    results, state = teach_main([
+        "--model_config", cfg_path,
+        "--train_txt_db", txt_dir, "--train_img_db", img_dir,
+        "--output_dir", teacher_dir,
+        "--neg_sample_size", "1",
+        "--train_batch_size", "4",
+        "--num_train_steps", "1000", "--warmup_steps", "2",
+        "--valid_steps", "500",
+        "--max_bb", "10", "--min_bb", "5",
+        "--compute_dtype", "f32",
+        "--sim_preempt_step", "3"])
+    assert os.path.exists(os.path.join(teacher_dir, "config.json"))
+    assert os.path.exists(os.path.join(teacher_dir, "model.npz"))
