@@ -60,6 +60,17 @@ def worker(rank: int) -> None:
     tasks = [next(it)[0] for _ in range(12)]
     assert_same_across_hosts(tasks, "MetaLoader task sequence")
 
+    # preemption-flag agreement under skewed signal delivery: only rank 0
+    # "receives SIGTERM", but both ranks must see requested=True after
+    # check() (the OR-reduce prevents one host exiting a collective loop
+    # the other is still in — utils/preemption.py)
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    if rank == 0:
+        guard.requested = True            # as if the signal landed here
+    assert guard.check(global_step=1), f"rank {rank}: flag not OR-reduced"
+
     if is_main_process():
         print("MULTIHOST_SMOKE_OK", flush=True)
 
