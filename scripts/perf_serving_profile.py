@@ -19,7 +19,9 @@ from lightningdot_tpu.models.bi_encoder import BiEncoder
 from lightningdot_tpu.serving import Retriever
 from lightningdot_tpu.utils.runtime import setup_runtime
 
-N_CORPUS, TOP_K, QUERY_LEN = 123_287, 100, 32
+N_CORPUS, TOP_K = 123_287, 100
+import os
+QUERY_LEN = int(os.environ.get("LDOT_SERVE_QLEN", "32"))
 
 
 class Tok:
