@@ -60,25 +60,12 @@ def _real_tokenizer_ms() -> tuple:
 
     from transformers import BertTokenizer
 
-    rng = random.Random(0)
-    letters = "abcdefghijklmnopqrstuvwxyz"
-    pieces = set()
-    while len(pieces) < 9000:           # word-initial pieces
-        pieces.add("".join(rng.choice(letters)
-                           for _ in range(rng.randint(2, 7))))
-    subs = set()
-    while len(subs) < 19900:            # continuation pieces
-        subs.add("##" + "".join(rng.choice(letters)
-                                for _ in range(rng.randint(1, 5))))
-    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-             + sorted(pieces) + sorted(subs))[:28996]
-    roots = sorted(pieces)
-    conts = [s[2:] for s in sorted(subs)]
+    from lightningdot_tpu.data.synth import synth_wordpiece_vocab
 
+    rng = random.Random(0)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "vocab.txt")
-        with open(path, "w") as f:
-            f.write("\n".join(vocab))
+        roots, conts = synth_wordpiece_vocab(path)
         tok = BertTokenizer(vocab_file=path, do_lower_case=False)
         # ~12-word captions whose words decompose into 1-3 in-vocab pieces
         caps = []

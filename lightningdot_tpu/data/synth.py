@@ -73,3 +73,33 @@ def make_synth_dataset(root: str, *, n_imgs: int = 32, txts_per_img: int = 5,
                                            "scores": scores}
     write_txt_db(txt_dir, examples, DEFAULT_META)
     return txt_dir, img_dir
+
+
+def synth_wordpiece_vocab(path: str, *, n_roots: int = 9000,
+                          n_conts: int = 19900, total: int = 28996,
+                          seed: int = 0):
+    """Write a synthetic full-size HF-format vocab.txt; returns
+    (word-initial pieces, continuation suffixes) for caption synthesis.
+
+    Zero-egress benchmarking/fixture helper: WordPiece runtime depends on
+    vocab size and longest-prefix structure, not the specific merges, so a
+    locally synthesized cased vocab stands in for bert-base-cased
+    (bench.py tokenizer measurement, scripts/perf_prepro_tokenize.py).
+    """
+    import random
+
+    rng = random.Random(seed)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    pieces = set()
+    while len(pieces) < n_roots:
+        pieces.add("".join(rng.choice(letters)
+                           for _ in range(rng.randint(2, 7))))
+    subs = set()
+    while len(subs) < n_conts:
+        subs.add("##" + "".join(rng.choice(letters)
+                                for _ in range(rng.randint(1, 5))))
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + sorted(pieces) + sorted(subs))[:total]
+    with open(path, "w") as f:
+        f.write("\n".join(vocab))
+    return sorted(pieces), [s[2:] for s in sorted(subs)]

@@ -17,25 +17,8 @@ import time
 sys.path.insert(0, ".")
 
 from lightningdot_tpu.cli.prepro import bert_tokenize  # noqa: E402
+from lightningdot_tpu.data.synth import synth_wordpiece_vocab  # noqa: E402
 from lightningdot_tpu.data.tokenizer import WordPieceTokenizer  # noqa: E402
-
-
-def synth_vocab(path: str, seed: int = 0) -> tuple:
-    rng = random.Random(seed)
-    letters = "abcdefghijklmnopqrstuvwxyz"
-    pieces = set()
-    while len(pieces) < 9000:
-        pieces.add("".join(rng.choice(letters)
-                           for _ in range(rng.randint(2, 7))))
-    subs = set()
-    while len(subs) < 19900:
-        subs.add("##" + "".join(rng.choice(letters)
-                                for _ in range(rng.randint(1, 5))))
-    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-             + sorted(pieces) + sorted(subs))[:28996]
-    with open(path, "w") as f:
-        f.write("\n".join(vocab))
-    return sorted(pieces), [s[2:] for s in sorted(subs)]
 
 
 def synth_captions(n: int, roots, conts, seed: int = 1):
@@ -58,7 +41,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     with tempfile.TemporaryDirectory() as d:
         vocab_path = os.path.join(d, "vocab.txt")
-        roots, conts = synth_vocab(vocab_path)
+        roots, conts = synth_wordpiece_vocab(vocab_path)
         caps = synth_captions(n, roots, conts)
 
         from transformers import BertTokenizer

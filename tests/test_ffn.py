@@ -114,7 +114,6 @@ def test_dh1_pallas_kernel_interpret(monkeypatch):
 
 def _int8_params(h=64, inter=256, seed=5):
     """Quantized param dicts in the serving.quantize_text_tower layout."""
-    from lightningdot_tpu.serving import quantize_text_tower  # noqa: F401
     intermediate, output = _params(h, inter, seed)
 
     def q(kernel):
