@@ -41,12 +41,12 @@ def _topk_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     return jax.lax.top_k(scores + pad_bias[None, :], k)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _topk_scores_chunked(queries: jnp.ndarray, corpus: jnp.ndarray,
-                         pad_bias: jnp.ndarray, k: int, chunk: int):
-    """Streaming top-k: scores computed per corpus chunk with a running
-    merge, so the full [Q, N] matrix never hits HBM (N x Q can reach
-    gigabytes during mining/eval over large corpora)."""
+def _chunked_topk_impl(queries, corpus, pad_bias, k: int, chunk: int):
+    """Streaming top-k body: scores computed per corpus chunk with a
+    running merge, so the full [Q, N] matrix never hits HBM (N x Q can
+    reach gigabytes during mining/eval over large corpora). Plain
+    traceable function — jitted standalone below and reused inside the
+    sharded index's shard_map."""
     q_n = queries.shape[0]
     n_chunks = corpus.shape[0] // chunk
 
@@ -67,6 +67,12 @@ def _topk_scores_chunked(queries: jnp.ndarray, corpus: jnp.ndarray,
     init = (jnp.full((q_n, k), NEG_INF, jnp.float32),
             jnp.zeros((q_n, k), jnp.int32))
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _topk_scores_chunked(queries: jnp.ndarray, corpus: jnp.ndarray,
+                         pad_bias: jnp.ndarray, k: int, chunk: int):
+    return _chunked_topk_impl(queries, corpus, pad_bias, k, chunk)
 
 
 class DenseFlatIndex:
@@ -123,9 +129,12 @@ class DenseFlatIndex:
     def _build(self):
         if self._corpus is None:
             n = sum(c.shape[0] for c in self._chunks)
-            # big corpora align to the streaming chunk so the chunked
-            # top-k kernel applies (<=50 MB padding waste, only when large)
-            multiple = self.CORPUS_CHUNK if n > 4 * self.CORPUS_CHUNK else 128
+            # align to the streaming chunk whenever an 8192-query block
+            # over this corpus would exceed SCORE_BUDGET, so the chunked
+            # top-k kernel is always applicable when it is needed
+            # (<=50 MB padding waste, only on corpora >32k rows)
+            multiple = (self.CORPUS_CHUNK
+                        if n * 8192 > self.SCORE_BUDGET else 128)
             mat, bias = self._padded_matrix(multiple)
             self._corpus = jnp.asarray(mat)
             self._pad_bias = jnp.asarray(bias)
@@ -157,11 +166,25 @@ class DenseFlatIndex:
         q = np.asarray(query_vectors, np.float32)
         if q.ndim == 1:
             q = q[None]
+        n = int(self._corpus.shape[0])
+        if k > self.CORPUS_CHUNK or n % self.CORPUS_CHUNK != 0:
+            # the chunked kernel can't apply: keep the transient [Q, N]
+            # score matrix under SCORE_BUDGET by shrinking the query block
+            block = min(block, max(128, self.SCORE_BUDGET // n // 128 * 128))
+        # pad the (single or ragged-last) block up to a static shape: each
+        # distinct block shape is a fresh 30s-2min remote compile
+        block = min(block, _round_up(q.shape[0], 128))
         results = []
         for start in range(0, q.shape[0], block):
-            qb = jnp.asarray(q[start:start + block])
-            scores, idx = self._search_block(qb, k)
-            idx_np, scores_np = np.asarray(idx), np.asarray(scores)
+            qb = q[start:start + block]
+            n_valid = qb.shape[0]
+            if n_valid < block:
+                qb = np.concatenate(
+                    [qb, np.zeros((block - n_valid, qb.shape[1]),
+                                  np.float32)], axis=0)
+            scores, idx = self._search_block(jnp.asarray(qb), k)
+            idx_np = np.asarray(idx)[:n_valid]
+            scores_np = np.asarray(scores)[:n_valid]
             for row_idx, row_sc in zip(idx_np, scores_np):
                 results.append(
                     ([self.index_id_to_db_id[i] for i in row_idx], row_sc))
@@ -203,8 +226,13 @@ class DenseShardedIndex(DenseFlatIndex):
 
     def _build(self):
         if self._corpus is None:
+            n = sum(c.shape[0] for c in self._chunks)
             n_dev = self.mesh.devices.size
-            mat, bias = self._padded_matrix(128 * n_dev)
+            # same budget rule as the flat index, per shard
+            multiple = ((self.CORPUS_CHUNK
+                         if n * 8192 > self.SCORE_BUDGET * n_dev else 128)
+                        * n_dev)
+            mat, bias = self._padded_matrix(multiple)
             self._corpus = jax.device_put(
                 mat, NamedSharding(self.mesh, P(DP_AXIS, None)))
             self._pad_bias = jax.device_put(
@@ -220,17 +248,33 @@ class DenseShardedIndex(DenseFlatIndex):
 
         def shard_fn(q, shard, bias):
             n_local = shard.shape[0]
-            scores = jnp.dot(q, shard.T,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            s, i = jax.lax.top_k(scores + bias[None, :], k)
+            # a small corpus on a wide mesh can have shards narrower than
+            # k (hard-negative mining asks for pools up to 1000,
+            # training/hn.py) — clamp the LOCAL k; the merged candidate
+            # set (n_dev * k_local >= k, since k <= n_real <= N_pad) still
+            # carries the global top-k
+            k_local = min(k, n_local)
+            if (q.shape[0] * n_local > self.SCORE_BUDGET
+                    and n_local % self.CORPUS_CHUNK == 0
+                    and k_local <= self.CORPUS_CHUNK):
+                # streaming local top-k: the [Q, n_local] score matrix
+                # never materializes (the flat index's budget protection,
+                # applied per shard)
+                s, i = _chunked_topk_impl(q, shard, bias, k_local,
+                                          self.CORPUS_CHUNK)
+            else:
+                scores = jnp.dot(q, shard.T,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                s, i = jax.lax.top_k(scores + bias[None, :], k_local)
             i = i + jax.lax.axis_index(DP_AXIS) * n_local
-            # merge candidates from all shards: [n_dev, Q, k] -> [Q, n_dev*k]
+            # merge candidates from all shards:
+            # [n_dev, Q, k_local] -> [Q, n_dev*k_local]
             s_all = jax.lax.all_gather(s, DP_AXIS)
             i_all = jax.lax.all_gather(i, DP_AXIS)
             q_n = s.shape[0]
-            s_cat = jnp.moveaxis(s_all, 0, 1).reshape(q_n, n_dev * k)
-            i_cat = jnp.moveaxis(i_all, 0, 1).reshape(q_n, n_dev * k)
+            s_cat = jnp.moveaxis(s_all, 0, 1).reshape(q_n, n_dev * k_local)
+            i_cat = jnp.moveaxis(i_all, 0, 1).reshape(q_n, n_dev * k_local)
             s_top, sel = jax.lax.top_k(s_cat, k)
             i_top = jnp.take_along_axis(i_cat, sel, axis=1)
             return s_top, i_top

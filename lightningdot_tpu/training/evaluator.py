@@ -30,13 +30,23 @@ def _shape_sig(batch) -> Tuple:
 
 
 class BatchEncoder:
-    """Jit-cached dual-tower encoder over host batches."""
+    """Jit-cached dual-tower encoder over host batches.
+
+    The jit cache rides on the model instance (params are jit ARGUMENTS),
+    so per-epoch evaluations (train_itm.py calls eval_model_on_dataloader
+    every epoch) reuse the traced/lowered programs instead of re-tracing,
+    and the cache is collected with the model.
+    """
 
     def __init__(self, model: BiEncoder, params, f32_output: bool = True):
         self.model = model
         self.params = params
         self.f32 = f32_output
-        self._fns: Dict[Tuple, Any] = {}
+        caches = getattr(model, "_encoder_fns", None)
+        if caches is None:
+            caches = {}
+            object.__setattr__(model, "_encoder_fns", caches)  # frozen dc
+        self._fns = caches.setdefault(f32_output, {})
 
     def _model_batch(self, batch):
         mb = {"txts": batch["txts"], "imgs": batch["imgs"],
@@ -71,6 +81,17 @@ class EvalResult:
     embeddings: Dict[str, Dict[str, np.ndarray]]
 
 
+def build_index(vector_size: int, *, mesh=None, hnsw: bool = False):
+    """Index factory (trainer.py:97-100,122-127: args.hnsw_index switch)."""
+    if hnsw:
+        from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
+
+        return DenseHNSWFlatIndexer(vector_size)
+    if mesh is not None:
+        return DenseShardedIndex(vector_size, mesh)
+    return DenseFlatIndex(vector_size)
+
+
 def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
                              img2txt: Optional[dict] = None,
                              num_tops: int = 100, no_eval: bool = False,
@@ -78,8 +99,13 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
                              caption_score_weight: float = 0.0,
                              mesh=None, hnsw: bool = False) -> EvalResult:
     """trainer.py:113-190 semantics."""
+    if not no_eval and img2txt is None:
+        raise ValueError("img2txt is required unless no_eval=True (the "
+                         "img->txt recall needs the ground-truth mapping)")
     encoder = BatchEncoder(model, params)
-    total_loss, total_correct, batches, total_samples = 0.0, 0, 0, 0
+    batches, total_samples = 0, 0
+    loss_chunks: List[Any] = []          # device scalars — pulled once at
+    correct_chunks: List[Any] = []       # the end (relay RTTs are ~ms each)
     txt_vec_chunks: List[Any] = []
     img_vec_chunks: List[Any] = []
     txt_ids: List[Any] = []
@@ -95,8 +121,8 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
             txt[:n_valid], img[:n_valid],
             cap[:n_valid] if cap is not None else None,
             jnp.arange(n_valid), None, caption_score_weight)
-        total_loss += float(loss)
-        total_correct += int(correct)
+        loss_chunks.append(loss)
+        correct_chunks.append(correct)
         batches += 1
         total_samples += n_valid
 
@@ -105,26 +131,20 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
         txt_ids.extend(batch["txt_index"][:n_valid])
         img_fnames.extend(batch["img_fname"][:n_valid])
 
-    # single device->host pull for the whole corpus
+    # single device->host pull for the whole corpus (and the metrics)
     txt_np = np.asarray(jnp.concatenate(txt_vec_chunks, axis=0))
     img_np = np.asarray(jnp.concatenate(img_vec_chunks, axis=0))
+    total_loss = float(np.asarray(jnp.stack(loss_chunks)).sum())
+    total_correct = int(np.asarray(jnp.stack(correct_chunks)).sum())
 
     # dict semantics of the reference: later duplicates overwrite
     # (trainer.py:151-152), and queries keep insertion order
     txt_embedding = {i: v for i, v in zip(txt_ids, txt_np)}
     img_embedding = {f: v for f, v in zip(img_fnames, img_np)}
 
-    def make_index():
-        if hnsw:  # trainer.py:97-100,122-127: args.hnsw_index switch
-            from lightningdot_tpu.index.hnsw import DenseHNSWFlatIndexer
-            return DenseHNSWFlatIndexer(vector_size)
-        if mesh is not None:
-            return DenseShardedIndex(vector_size, mesh)
-        return DenseFlatIndex(vector_size)
-
-    indexer_img = make_index()
+    indexer_img = build_index(vector_size, mesh=mesh, hnsw=hnsw)
     indexer_img.index_data(list(img_embedding.items()))
-    indexer_txt = make_index()
+    indexer_txt = build_index(vector_size, mesh=mesh, hnsw=hnsw)
     indexer_txt.index_data(list(txt_embedding.items()))
 
     avg_loss = total_loss / max(batches, 1)
@@ -157,7 +177,7 @@ def eval_model_on_dataloader(model: BiEncoder, params, dataloader, *,
 
 
 def get_indexer(model: BiEncoder, params, dataloader, *, vector_size=768,
-                img_retrieval=True, mesh=None):
+                img_retrieval=True, mesh=None, hnsw: bool = False):
     """trainer.py:93-110: encode one side and build its index."""
     encoder = BatchEncoder(model, params)
     embedding = {}
@@ -171,7 +191,6 @@ def get_indexer(model: BiEncoder, params, dataloader, *, vector_size=768,
             vecs = np.asarray(txt[:n_valid])
             keys = batch["txt_index"][:n_valid]
         embedding.update({k: v for k, v in zip(keys, vecs)})
-    index = (DenseShardedIndex(vector_size, mesh) if mesh is not None
-             else DenseFlatIndex(vector_size))
+    index = build_index(vector_size, mesh=mesh, hnsw=hnsw)
     index.index_data(list(embedding.items()))
     return index

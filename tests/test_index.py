@@ -121,3 +121,28 @@ def test_large_corpus_uses_chunked_path(rng):
     expected = brute_force(q, vecs, ids, 7)
     for (got_ids, _), exp in zip(res, expected):
         assert got_ids == exp
+
+
+def test_sharded_topk_wider_than_shard():
+    """k can exceed a shard's row count (hard-negative mining asks for
+    pools up to 1000 on corpora that shard thin over a wide mesh): the
+    local top-k clamps to the shard size and the merge still recovers the
+    exact global top-k."""
+    import jax
+
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 32                    # pads to 1024 on 8 devices -> 128/shard
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    data = [(f"v{i}", v) for i, v in enumerate(vecs)]
+    flat = DenseFlatIndex(d)
+    flat.index_data(data)
+    sharded = DenseShardedIndex(d, data_parallel_mesh())
+    sharded.index_data(data)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    k = 200                           # > 128 rows per shard
+    for (ids_f, s_f), (ids_s, s_s) in zip(flat.search_knn(queries, k),
+                                          sharded.search_knn(queries, k)):
+        assert ids_f == ids_s
+        np.testing.assert_allclose(s_f, s_s, rtol=1e-5)
