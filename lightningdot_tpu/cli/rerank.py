@@ -80,11 +80,11 @@ def main(cmds=None):
     txt_ids = list(txt_emb.keys())
     img_ids = list(img_emb.keys())
 
+    # stage-1 candidate depth: at least the recall table, deeper if asked
+    depth = max(max(RECALL_TOPS), args.num_tops)
     t0 = time.time()
-    res_img = indexer_img.search_knn(np.stack(list(txt_emb.values())),
-                                     max(RECALL_TOPS))
-    res_txt = indexer_txt.search_knn(np.stack(list(img_emb.values())),
-                                     max(RECALL_TOPS))
+    res_img = indexer_img.search_knn(np.stack(list(txt_emb.values())), depth)
+    res_txt = indexer_txt.search_knn(np.stack(list(img_emb.values())), depth)
     search_time = time.time() - t0
 
     ranking_res_img = {t: r[0] for t, r in zip(txt_ids, res_img)}
@@ -102,25 +102,30 @@ def main(cmds=None):
             recall_txt2[top] += any(t in r[:top] for t in img2txt[f])
     recall_img2 = {k: v / len(txt_ids) for k, v in recall_img2.items()}
     recall_txt2 = {k: v / len(img_ids) for k, v in recall_txt2.items()}
-    LOGGER.info("stage-1 search time: %.2fs (%d txt + %d img queries)",
+    # includes the first-use jit compile of the index kernel (30 s - 2 min
+    # through the relay) — steady-state search latency is bench.py's number
+    LOGGER.info("stage-1 search time (incl. first-call compile): %.2fs "
+                "(%d txt + %d img queries)",
                 search_time, len(txt_ids), len(img_ids))
     LOGGER.info("img retrieval (dense): %s", recall_img2)
     LOGGER.info("txt retrieval (dense): %s", recall_txt2)
 
     # ---- stage 2: cross-encoder rescoring ---------------------------------
     out = {"stage1_img": recall_img2, "stage1_txt": recall_txt2}
-    get_pair_score = _load_pair_scorer(args, dataset, txt_ids, img_ids)
+    get_pair_score = _load_pair_scorer(args, dataset, txt_ids)
     if get_pair_score is None:
         print(json.dumps(out, default=float))
         return out
 
-    score_txt_query, score_img_query = get_pair_score
-    max_th = max(RERANK_THRESHOLDS)
-    # score the max-threshold candidate set once per query; thresholds slice
-    cand_scores_img = {t: score_txt_query(t, list(ranking_res_img[t][:max_th]))
-                       for t in txt_ids}
-    cand_scores_txt = {f: score_img_query(f, list(ranking_res_txt[f][:max_th]))
-                       for f in img_ids}
+    score_txt_queries, score_img_queries = get_pair_score
+    max_th = min(max(RERANK_THRESHOLDS), depth)
+    # score the max-threshold candidate set ONCE for all queries (one
+    # batched call per direction — a call per query would pay one blocking
+    # relay round-trip each, hours over a test split); thresholds slice
+    cand_scores_img = score_txt_queries(
+        [(t, list(ranking_res_img[t][:max_th])) for t in txt_ids])
+    cand_scores_txt = score_img_queries(
+        [(f, list(ranking_res_txt[f][:max_th])) for f in img_ids])
 
     for threshold in RERANK_THRESHOLDS:
         recall_rerank = {1: 0, 5: 0, 10: 0}
@@ -153,10 +158,12 @@ def main(cmds=None):
     return out
 
 
-def _load_pair_scorer(args, dataset, txt_ids, img_ids):
-    """Return (score_txt_query, score_img_query) batch scorers, where
-    ``score_txt_query(txt_id, [img_ids]) -> np.ndarray`` and vice versa;
-    None if no score source is configured."""
+def _load_pair_scorer(args, dataset, txt_ids):
+    """Return (score_txt_queries, score_img_queries) BATCHED scorers:
+    ``score_txt_queries([(txt_id, [img_ids]), ...]) -> {txt_id: scores}``
+    and vice versa — all queries of a direction score in one call so the
+    on-the-fly teacher path pays one device pipeline, not one blocking
+    relay round-trip per query. None if no score source is configured."""
     if args.score_file:
         with open(args.score_file, "rb") as f:
             tup = pickle.load(f)
@@ -165,13 +172,15 @@ def _load_pair_scorer(args, dataset, txt_ids, img_ids):
         ti = {t: i for i, t in enumerate(f_txt_ids)}
         ii = {im: i for i, im in enumerate(f_img_ids)}
 
-        def score_txt_query(t, ims):
-            return np.asarray([scores_mat[ti[t]][ii[im]] for im in ims])
+        def score_txt_queries(items):
+            return {t: np.asarray([scores_mat[ti[t]][ii[im]] for im in ims])
+                    for t, ims in items}
 
-        def score_img_query(im, ts):
-            return np.asarray([scores_mat[ti[t]][ii[im]] for t in ts])
+        def score_img_queries(items):
+            return {im: np.asarray([scores_mat[ti[t]][ii[im]] for t in ts])
+                    for im, ts in items}
 
-        return score_txt_query, score_img_query
+        return score_txt_queries, score_img_queries
 
     if args.teacher_checkpoint:
         from lightningdot_tpu.cli.train_itm import _load_teacher
@@ -189,17 +198,31 @@ def _load_pair_scorer(args, dataset, txt_ids, img_ids):
                 feat_cache[im] = (f, p)
             return feat_cache[im]
 
-        def score_txt_query(t, ims):
-            fs = [feats(im) for im in ims]
-            return scorer.score_pairs([tok_cache[t]] * len(ims),
-                                      [f for f, _ in fs], [p for _, p in fs])
+        def _score_flat(items, pair_of):
+            toks, fs, ps, counts = [], [], [], []
+            for q, cands in items:
+                counts.append(len(cands))
+                for c in cands:
+                    tok, (f, p) = pair_of(q, c)
+                    toks.append(tok)
+                    fs.append(f)
+                    ps.append(p)
+            flat = scorer.score_pairs(toks, fs, ps)
+            out, pos = {}, 0
+            for (q, _), n in zip(items, counts):
+                out[q] = flat[pos:pos + n]
+                pos += n
+            return out
 
-        def score_img_query(im, ts):
-            f, p = feats(im)
-            return scorer.score_pairs([tok_cache[t] for t in ts],
-                                      [f] * len(ts), [p] * len(ts))
+        def score_txt_queries(items):
+            return _score_flat(
+                items, lambda t, im: (tok_cache[t], feats(im)))
 
-        return score_txt_query, score_img_query
+        def score_img_queries(items):
+            return _score_flat(
+                items, lambda im, t: (tok_cache[t], feats(im)))
+
+        return score_txt_queries, score_img_queries
 
     LOGGER.info("no score_file / teacher_checkpoint: skipping stage 2")
     return None

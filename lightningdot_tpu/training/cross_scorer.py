@@ -57,6 +57,9 @@ class CrossScorer:
         n = len(txt_tokens)
         out = np.zeros((n,), np.float32)
         B = self.pair_block
+        pending = []  # dispatch every block, pull once at the end: a
+        # blocking np.asarray per block would serialize the pipeline on
+        # the device round-trip (up to ~800 ms each through the relay)
         for st in range(0, n, B):
             tok = txt_tokens[st:st + B]
             feats = img_feats[st:st + B]
@@ -78,8 +81,10 @@ class CrossScorer:
                      pad_mask([f.shape[0] for f in feats], R)], axis=1),
             }
             shapes = (B, L, R)
-            scores = np.asarray(self._fn(shapes)(self.params, batch))
-            out[st:st + n_valid] = scores[:n_valid]
+            pending.append((st, n_valid,
+                            self._fn(shapes)(self.params, batch)))
+        for st, n_valid, dev in pending:
+            out[st:st + n_valid] = np.asarray(dev)[:n_valid]
         return out
 
     def score_matrix(self, txt_tokens: List[Sequence[int]],

@@ -57,8 +57,15 @@ def random_hard_neg(fname2id, num_hard_negatives, id2set, set2id,
     for i in fname2id:
         gts = fname2id[i]
         gt_set = set(gts) if isinstance(gts, (list, tuple, set)) else {gts}
+        pool = set2id[id2set[i]]
+        if not any(c not in gt_set for c in pool):
+            # every same-set candidate is a ground truth (e.g. a one-image
+            # dataset): resampling would loop forever
+            raise ValueError(
+                f"no non-ground-truth negatives available for {i!r} in set "
+                f"{id2set[i]!r} (pool size {len(pool)})")
         while True:
-            hard_neg = rng.choices(set2id[id2set[i]], k=num_hard_negatives)
+            hard_neg = rng.choices(pool, k=num_hard_negatives)
             if not gt_set & set(hard_neg):
                 break
         hard_negs[i] = hard_neg
@@ -87,19 +94,32 @@ def sampled_hard_negatives(model, params, train_datasets, collate_func, args,
         hard_neg_img = {k: list(v) for k, v in rank_txt_res.items()}
         hard_neg_txt = {k: list(v) for k, v in rank_img_res.items()}
 
-        # remove ground truths (hn.py:57-58)
+        # remove ground truths (hn.py:57-58). Order-preserving filter: a
+        # set difference iterates in hash order, which varies per process
+        # (PYTHONHASHSEED) and would defeat the caller's seeded rng
         for k, v in hard_neg_img.items():
             if train_txt2img[k] in v:
                 v.remove(train_txt2img[k])
-        hard_neg_txt = {k: list(set(v) - set(train_img2txt[k]))
-                        for k, v in hard_neg_txt.items()}
+        hard_neg_txt = {
+            k: [x for x in v if x not in set(train_img2txt[k])]
+            for k, v in hard_neg_txt.items()}
+
+        def sample(pool, what, k):
+            # the collate assumes a FIXED 1+n rows per item (CLAUDE.md
+            # static shapes); a short list would corrupt the jitted loss's
+            # batch layout several stages later — fail loudly here instead
+            # (the reference's random.sample raised the same way)
+            if len(pool) < args.num_hard_negatives:
+                raise ValueError(
+                    f"only {len(pool)} hard-negative candidates for {what} "
+                    f"{k!r} (need {args.num_hard_negatives}); lower "
+                    f"--num_hard_negatives or enlarge the candidate pool")
+            return rng.sample(pool, args.num_hard_negatives)
 
         hard_negs_txt_all.append(
-            {k: rng.sample(v, min(args.num_hard_negatives, len(v)))
-             for k, v in hard_neg_txt.items()})
+            {k: sample(v, "img", k) for k, v in hard_neg_txt.items()})
         hard_negs_img_all.append(
-            {k: rng.sample(v, min(args.num_hard_negatives, len(v)))
-             for k, v in hard_neg_img.items()})
+            {k: sample(v, "txt", k) for k, v in hard_neg_img.items()})
     hard_negs_txt = dict(collections.ChainMap(*hard_negs_txt_all))
     hard_negs_img = dict(collections.ChainMap(*hard_negs_img_all))
     LOGGER.info("mined hard negatives for %d txts / %d imgs",
