@@ -282,6 +282,12 @@ def main(cmds=None):
     meta_loader = MetaLoader(train_loaders,
                              accum_steps=args.gradient_accumulation_steps,
                              seed=args.seed)
+    if global_step:
+        # continue the deterministic task stream where the interrupted run
+        # stopped, instead of replaying the early task mix under late-run
+        # learning rates (data iterators restart, like the reference)
+        meta_loader.fast_forward(
+            global_step * args.gradient_accumulation_steps)
     validate_fn = make_validate_fn(model)
     saver = ModelSaver(os.path.join(args.output_dir, "ckpt"),
                        async_save=bool(getattr(args, "async_checkpoint", 0)))

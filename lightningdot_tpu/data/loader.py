@@ -78,13 +78,16 @@ class DistributedSampler:
 
     def __init__(self, dataset_len: int, num_replicas: int, rank: int,
                  batch_size: int = 1, shuffle: bool = True,
-                 drop_last: bool = False):
+                 drop_last: bool = False, seed: int = 0):
         self.dataset_len = dataset_len
         self.num_replicas = num_replicas
         self.rank = rank
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
+        # callers MUST call set_epoch(e) each epoch or every epoch reuses
+        # the same permutation (torch.DistributedSampler contract)
         self.epoch = 0
         self.num_samples = -(-dataset_len // num_replicas)
         self.total_size = self.num_samples * num_replicas
@@ -100,8 +103,9 @@ class DistributedSampler:
     def __iter__(self):
         indices = list(range(self.dataset_len))
         if self.shuffle:
-            # shuffle BEFORE partitioning (sampler.py:93-107 semantics)
-            random.Random(self.epoch).shuffle(indices)
+            # shuffle BEFORE partitioning (sampler.py:93-107 semantics);
+            # seed+epoch like torch's sampler so args.seed matters
+            random.Random(self.seed + self.epoch).shuffle(indices)
         while len(indices) < self.total_size:
             indices += indices[:self.total_size - len(indices)]
         indices = indices[self.rank:self.total_size:self.num_replicas]
@@ -129,7 +133,9 @@ class DataLoader:
         self.collate_fn = collate_fn or (lambda x: x)
         self.sampler = sampler
         self._rng = random.Random(seed)
-        self._prefetch = prefetch
+        # queue.Queue treats maxsize<=0 as UNBOUNDED — clamp so
+        # prefetch=0 cannot silently collate the whole epoch ahead
+        self._prefetch = max(1, prefetch)
         # >1: N threads each fetch+collate WHOLE batches concurrently; the
         # consumer reorders by sequence number, so batch order is identical
         # to num_workers=1. Items of one batch stay on one thread. Only use
@@ -171,48 +177,11 @@ class DataLoader:
     def __iter__(self):
         if self._on_epoch is not None:
             self._on_epoch()
-        if self.num_workers > 1:
-            yield from self._iter_multi(self.num_workers)
-            return
-        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
-        _SENTINEL = object()
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            """Bounded put that aborts when the consumer abandoned us."""
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def worker():
-            try:
-                for batch_idx in self._batches():
-                    items = [self.dataset[i] for i in batch_idx]
-                    if not _put(self.collate_fn(items)):
-                        return  # consumer gone (break / GC) — exit cleanly
-            except BaseException as e:  # propagate into consumer
-                _put(e)
-                return
-            _put(_SENTINEL)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is _SENTINEL:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            # reached on StopIteration, break out of the consuming loop, or
-            # generator GC — release the worker thread
-            stop.set()
+        # num_workers=1 runs the same pipeline with one worker thread:
+        # identical ordering and single-threaded __getitem__ semantics
+        # (a bespoke single-worker path previously duplicated the
+        # bounded-put / stop-event / error protocol with drift hazards)
+        yield from self._iter_multi(max(1, self.num_workers))
 
     def _iter_multi(self, n_workers: int):
         """Order-preserving N-thread batch pipeline (see num_workers).
@@ -357,6 +326,23 @@ class MetaLoader:
                 batch = next(iter_)
             except StopIteration:
                 iter_ = iter(self.name2loader[task])
-                batch = next(iter_)
+                try:
+                    batch = next(iter_)
+                except StopIteration:
+                    # re-raising StopIteration inside a generator becomes
+                    # an opaque PEP 479 RuntimeError — name the real issue
+                    raise ValueError(
+                        f"task {task!r} loader yielded no batches (empty "
+                        f"dataset or drop_last ate the only batch)") from None
                 self.name2iter[task] = iter_
             yield task, batch
+
+    def fast_forward(self, n_steps: int) -> None:
+        """Advance the task-sampling stream to micro-step ``n_steps``
+        without touching data: on auto-resume the task SEQUENCE continues
+        exactly where the interrupted run stopped (the reference replays
+        it from scratch; data iterators restart in both designs)."""
+        while self.step < n_steps:
+            if self.step % self.accum_steps == 0:
+                self._rng.choice(self.sampling_pools)
+            self.step += 1

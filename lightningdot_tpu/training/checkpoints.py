@@ -48,6 +48,7 @@ def unflatten_like(template, flat: Dict[str, np.ndarray],
 
     paths_and_leaves = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
+    seen = set()
     for path, leaf in paths_and_leaves[0]:
         key = SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
                        for p in path)
@@ -59,43 +60,71 @@ def unflatten_like(template, flat: Dict[str, np.ndarray],
                 key)
             leaves.append(leaf)
             continue
-        leaves.append(flat[key])
+        seen.add(key)
+        loaded = flat[key]
+        t_shape = getattr(leaf, "shape", None)
+        if (strict and t_shape is not None
+                and tuple(loaded.shape) != tuple(t_shape)):
+            # a silently mis-shaped load (e.g. a larger-vocab embedding
+            # table) would compute without error and corrupt everything
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {tuple(loaded.shape)}, "
+                f"model expects {tuple(t_shape)}")
+        leaves.append(loaded)
+    if strict:
+        extra = sorted(set(flat) - seen)
+        if extra:
+            raise KeyError(
+                f"checkpoint has {len(extra)} parameters the model does "
+                f"not: {extra[:5]}{'...' if len(extra) > 5 else ''}")
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
 
 def save_checkpoint(path: str, *, model, optimizer=None, step: int = 0,
                     offset: int = 0, epoch: int = 0,
                     extra: Optional[dict] = None) -> str:
-    """Write <path>.npz + <path>.json (CheckpointState equivalent)."""
+    """Write <path>.npz + <path>.json (CheckpointState equivalent).
+
+    Atomic: both files are written to temp names and renamed (.npz first,
+    .json last). A crash or preemption SIGKILL mid-save therefore never
+    truncates an existing checkpoint (re-saving biencoder.best/last, or
+    the newest model_step_N that auto-resume would pick), and resume
+    discovery keys off the .json, which only appears once the .npz it
+    describes is complete.
+    """
     arrays = {f"model{SEP}{k}": v for k, v in flatten_tree(model).items()}
     if optimizer is not None:
         arrays.update({f"opt{SEP}{k}": v
                        for k, v in flatten_tree(optimizer).items()})
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path + ".npz", **arrays)
+    tmp = path + ".npz.tmp"
+    with open(tmp, "wb") as f:  # file object: savez writes exactly here
+        np.savez(f, **arrays)
+    os.replace(tmp, path + ".npz")
     meta = {"step": step, "offset": offset, "epoch": epoch,
             "extra": extra or {}}
-    with open(path + ".json", "w") as f:
+    tmp_json = path + ".json.tmp"
+    with open(tmp_json, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_json, path + ".json")
     return path
 
 
 def load_checkpoint(path: str, *, model_template, optimizer_template=None
                     ) -> Tuple[Any, Any, dict]:
-    data = np.load(path + ".npz")
-    with open(path + ".json") as f:
-        meta = json.load(f)
-    mp = f"model{SEP}"
-    model_flat = {k[len(mp):]: data[k] for k in data.files
-                  if k.startswith(mp)}
-    model = unflatten_like(model_template, model_flat)
-    opt = None
-    if optimizer_template is not None:
+    with np.load(path + ".npz") as data:  # close the zip handle on exit
+        mp = f"model{SEP}"
+        model_flat = {k[len(mp):]: data[k] for k in data.files
+                      if k.startswith(mp)}
         op = f"opt{SEP}"
         opt_flat = {k[len(op):]: data[k] for k in data.files
                     if k.startswith(op)}
-        if opt_flat:
-            opt = unflatten_like(optimizer_template, opt_flat, strict=False)
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    model = unflatten_like(model_template, model_flat)
+    opt = None
+    if optimizer_template is not None and opt_flat:
+        opt = unflatten_like(optimizer_template, opt_flat, strict=False)
     return model, opt, meta
 
 
@@ -177,13 +206,17 @@ class ModelSaver:
 
 def latest_step_checkpoint(output_dir: str, prefix: str = "model_step"
                            ) -> Optional[Tuple[str, int]]:
-    """Auto-resume discovery (pretrain.py:906-917)."""
-    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.npz$")
+    """Auto-resume discovery (pretrain.py:906-917).
+
+    Keys off the .json, which save_checkpoint renames into place LAST —
+    a checkpoint interrupted mid-write (no .json yet) is never selected.
+    """
+    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.json$")
     best = None
-    for f in glob.glob(os.path.join(output_dir, f"{prefix}_*.npz")):
+    for f in glob.glob(os.path.join(output_dir, f"{prefix}_*.json")):
         m = pat.search(f)
-        if m:
+        if m and os.path.exists(f[:-len(".json")] + ".npz"):
             step = int(m.group(1))
             if best is None or step > best[1]:
-                best = (f[:-len(".npz")], step)
+                best = (f[:-len(".json")], step)
     return best

@@ -94,3 +94,51 @@ def test_async_model_saver_snapshots_before_mutation(tmp_path):
     saver.save({"w": jnp.ones(8), "b": jnp.ones(4)}, step=7)
     saver.wait()
     assert latest_step_checkpoint(str(tmp_path))[1] == 7
+
+
+def test_interrupted_save_never_selected(tmp_path):
+    """Auto-resume discovery keys off the .json written LAST: a save
+    killed mid-.npz-write (or between the two renames) must fall back to
+    the previous complete checkpoint, and re-saves never truncate an
+    existing good file (writes go to temp names + os.replace)."""
+    import numpy as np
+
+    from lightningdot_tpu.training.checkpoints import (
+        latest_step_checkpoint, load_checkpoint, save_checkpoint)
+
+    d = str(tmp_path / "ckpt")
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_checkpoint(f"{d}/model_step_5", model=params, step=5)
+
+    # crash simulation 1: truncated .npz, no .json yet
+    with open(f"{d}/model_step_9.npz", "wb") as f:
+        f.write(b"PK\x03\x04 half a zip")
+    best = latest_step_checkpoint(d)
+    assert best is not None and best[1] == 5
+
+    # crash simulation 2: temp files left behind are ignored
+    with open(f"{d}/model_step_7.npz.tmp", "wb") as f:
+        f.write(b"partial")
+    assert latest_step_checkpoint(d)[1] == 5
+
+    loaded, _, meta = load_checkpoint(f"{d}/model_step_5",
+                                      model_template=params)
+    np.testing.assert_array_equal(loaded["w"], params["w"])
+    assert meta["step"] == 5
+
+
+def test_strict_load_rejects_shape_and_extra_keys(tmp_path):
+    """A mis-shaped leaf (e.g. wrong-vocab embedding table) or extra
+    checkpoint parameters must fail loudly, not load silently."""
+    import numpy as np
+    import pytest
+
+    from lightningdot_tpu.training.checkpoints import (load_checkpoint,
+                                                       save_checkpoint)
+
+    path = str(tmp_path / "m")
+    save_checkpoint(path, model={"w": np.zeros((4, 3), np.float32)})
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, model_template={"w": np.zeros((2, 3))})
+    with pytest.raises(KeyError, match="parameters the model does not"):
+        load_checkpoint(path, model_template={})

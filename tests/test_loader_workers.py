@@ -224,3 +224,31 @@ def test_padding_pool_recycle_and_reuse():
     # pool drained now
     got2 = padding._pool_get(big.shape, np.float16)
     assert got2 is not big
+
+
+def test_metaloader_fast_forward_continues_stream():
+    """fast_forward(n) reproduces the task sequence an uninterrupted run
+    would have produced from step n (auto-resume task-mix continuity)."""
+    from lightningdot_tpu.data.loader import MetaLoader
+
+    def counter(tag):
+        def gen():
+            i = 0
+            while True:
+                yield f"{tag}{i}"
+                i += 1
+        return gen()
+
+    def make():
+        return MetaLoader({"a": (counter("a"), 2), "b": (counter("b"), 1)},
+                          accum_steps=2, seed=11)
+
+    full = make()
+    it = iter(full)
+    seq = [next(it)[0] for _ in range(20)]
+
+    resumed = make()
+    resumed.fast_forward(12)
+    it2 = iter(resumed)
+    tail = [next(it2)[0] for _ in range(8)]
+    assert tail == seq[12:]
