@@ -123,7 +123,14 @@ def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,
         for i, t in enumerate(dset["tasks"]):
             task = f"{t}_{dset['name']}"
             max_len = args.max_txt_len if is_train else -1
-            txt_dbs = [TxtTokDb(p, max_len) for p in dset["db"]]
+            # train DBs shard rank-strided across hosts (data.py:185-187);
+            # validation stays complete per host
+            from lightningdot_tpu.parallel.mesh import (process_count,
+                                                        process_index)
+            rank = process_index() if is_train else 0
+            world = process_count() if is_train else 1
+            txt_dbs = [TxtTokDb(p, max_len, rank=rank, world_size=world)
+                       for p in dset["db"]]
             LOGGER.info("Loading %s %s dataset %s", task,
                         "train" if is_train else "val", dset["db"])
             loader = _build_task(t, txt_dbs, img_dbs, args, collate_cfg,

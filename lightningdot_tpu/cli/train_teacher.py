@@ -144,7 +144,11 @@ def main(cmds=None):
         params = jax.tree.map(jnp.asarray,
                               model.init(jax.random.PRNGKey(args.seed)))
 
-    txt_db = TxtTokDb(args.train_txt_db, args.max_txt_len)
+    from lightningdot_tpu.parallel.mesh import (process_count,
+                                                process_index)
+    # train DB shards rank-strided across hosts (data.py:185-187)
+    txt_db = TxtTokDb(args.train_txt_db, args.max_txt_len,
+                      rank=process_index(), world_size=process_count())
     img_db = DetectFeatDb(args.train_img_db, args.conf_th, args.max_bb,
                           args.min_bb, args.num_bb)
 

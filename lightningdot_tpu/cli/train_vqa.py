@@ -26,6 +26,7 @@ from lightningdot_tpu.data.txt_db import TxtTokDb
 from lightningdot_tpu.data.vqa import (VqaCollateConfig, VqaDataset,
                                        VqaEvalDataset, vqa_collate)
 from lightningdot_tpu.models.factory import build_biencoder
+from lightningdot_tpu.parallel.mesh import process_count, process_index
 from lightningdot_tpu.models.vqa import BiEncoderForVQA
 from lightningdot_tpu.training.checkpoints import save_checkpoint
 from lightningdot_tpu.training.itm_step import (create_train_state,
@@ -79,7 +80,9 @@ def main(cmds=None):
     all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
                                args.num_bb)
     train_sets = [
-        VqaDataset(args.num_answers, TxtTokDb(t, args.max_txt_len),
+        VqaDataset(args.num_answers,
+                   TxtTokDb(t, args.max_txt_len, rank=process_index(),
+                            world_size=process_count()),
                    all_img_dbs[im])
         for t, im in zip(args.train_txt_dbs, args.train_img_dbs)]
     from lightningdot_tpu.training.trainer_utils import ConcatDataset

@@ -68,7 +68,22 @@ def _raw_bytes(**arrays) -> bytes:
                     + payloads)
 
 
-def _raw_load(view: memoryview) -> Dict[str, np.ndarray]:
+class _OwnedArray(np.ndarray):
+    """Zero-copy view into a kvstore mapping that PINS its reader.
+
+    The native reader's memoryviews point into an mmap that
+    ``_NativeReader.__del__`` unmaps — a plain frombuffer array keeps the
+    ctypes buffer object alive but NOT the reader, so dropping the
+    DetectFeatDb while loader batches still hold un-copied feature arrays
+    would leave them dangling (segfault on next read). Holding the owner
+    on the array defers the munmap until every view is gone. Views/
+    reshapes propagate the subclass and base chain; copies detach.
+    """
+
+    _owner = None
+
+
+def _raw_load(view: memoryview, owner=None) -> Dict[str, np.ndarray]:
     import msgpack
 
     head_len = int.from_bytes(view[4:8], "little")
@@ -79,6 +94,9 @@ def _raw_load(view: memoryview) -> Dict[str, np.ndarray]:
         n = int(np.prod(shape)) if shape else 1
         arr = np.frombuffer(view, dtype=np.dtype(dtype),
                             count=n, offset=base + offset)
+        if owner is not None:
+            arr = arr.view(_OwnedArray)
+            arr._owner = owner
         out[name] = arr.reshape(shape)
     return out
 
@@ -127,13 +145,19 @@ class DetectFeatDb:
         ms/batch at the B=96 pre-train shape (scripts/perf_pipeline.py)."""
         raw = self.db[file_name]
         if bytes(raw[:4]) == _RAW_MAGIC:
-            return _raw_load(raw)
+            return _raw_load(raw, owner=self.db)
         with io.BytesIO(bytes(raw)) as reader:  # npz (reference records)
             dump = np.load(reader, allow_pickle=True)
             return {k: np.asarray(dump[k]) for k in dump.files}
 
+    def load_arrays(self, file_name: str) -> Dict[str, np.ndarray]:
+        """Public record access in STORED dtypes, untruncated — the
+        dtype-preserving path MrcDataset consumes (get_dump's f32 upcast
+        is reference-API parity only)."""
+        return self._load(file_name)
+
     def get_dump(self, file_name: str) -> Dict[str, np.ndarray]:
-        """All arrays truncated to nbb, f32 (data.py:96-108; used by MRC)."""
+        """All arrays truncated to nbb, f32 (data.py:96-108 parity API)."""
         nbb = self.name2nbb[file_name]
         dump = self._load(file_name)
         return {k: (arr[:nbb, ...].astype(np.float32, copy=False)

@@ -167,7 +167,7 @@ class MrcDataset(_PairDataset):
         # features cost ~40 ms/batch on the host; the model casts on
         # device and the MRC targets are the soft labels, not features)
         nbb = self.img_db.name2nbb[ex["img_fname"]]
-        dump = self.img_db._load(ex["img_fname"])
+        dump = self.img_db.load_arrays(ex["img_fname"])
         feat = dump["features"][:nbb]
         bb = dump["norm_bb"][:nbb].astype(np.float32, copy=False)
         pos = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)

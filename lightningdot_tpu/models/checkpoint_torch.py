@@ -19,6 +19,7 @@ Linear weights are transposed torch [out,in] -> jax [in,out].
 from __future__ import annotations
 
 import logging
+import pickle
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -32,7 +33,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
+        # older artifacts pickle argparse Namespaces etc. alongside the
+        # tensors; fall back to full unpickling KNOWINGLY (runs pickle
+        # code — only for files you trust). Any other failure (truncated
+        # file, bad zip) propagates instead of being masked by a
+        # confusing second-attempt error.
+        logger.warning("%s is not loadable with weights_only=True; "
+                       "falling back to full unpickling", path)
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "model_dict" in sd:
         sd = sd["model_dict"]
@@ -66,7 +74,7 @@ def _ln(sd, prefix):
 
 
 def map_tower(sd: Mapping[str, np.ndarray], *, with_img: bool,
-              num_layers: int = 12, strict: bool = True) -> Dict[str, Any]:
+              num_layers: int = 12) -> Dict[str, Any]:
     """Map one tower's torch keys ('bert.*' + optional 'encode_proj.*').
 
     Accepts the tower state dict of BertEncoder / UniterEncoder

@@ -75,8 +75,11 @@ def load_cross_encoder(checkpoint: str, *, model_config: Optional[str] = None,
         init = model.init(jax.random.PRNGKey(0))
         init.update(params)
         params = init
-        if "rank_output" not in sd and "itm_output.weight" in sd:
-            params = CrossEncoder.init_output(params)
+        # map_cross_encoder already seeds rank_output from the itm head
+        # when the checkpoint lacks one (itm.py:23-26); re-seeding here
+        # would clobber a FINE-TUNED rank head (the old guard tested the
+        # bare key 'rank_output', which never appears in torch state
+        # dicts, so it re-seeded unconditionally)
     else:
         from lightningdot_tpu.training.checkpoints import load_checkpoint
         params, _, _ = load_checkpoint(

@@ -60,10 +60,18 @@ def load_dataset(all_img_dbs: ImageDbGroup,
                  img_dbs: Union[str, List[str]], args, is_train: bool):
     """trainer.py:193-209."""
     if is_train:
+        from lightningdot_tpu.parallel.mesh import (process_count,
+                                                    process_index)
+
         datasets = []
         for txt_path, img_path in zip(txt_dbs, img_dbs):
             img_db = all_img_dbs[img_path]
-            txt_db = TxtTokDb(txt_path, args.max_txt_len)
+            # rank-strided data sharding on multi-host (data.py:185-187 —
+            # "the dataset handles distributed training itself"); eval DBs
+            # stay complete per host (recall is computed locally)
+            txt_db = TxtTokDb(txt_path, args.max_txt_len,
+                              rank=process_index(),
+                              world_size=process_count())
             datasets.append(ItmFastDataset(
                 txt_db, img_db, args.num_hard_negatives,
                 getattr(args, "img_meta_dict", None),
