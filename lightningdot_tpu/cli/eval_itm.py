@@ -35,11 +35,27 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def evaluate(args, split: str = "test"):
+def _load_caption_meta(args) -> None:
+    """Populate img_meta_dict + tokenizer from --itm_global_file so the
+    caption-blending path gets its caps (reference eval_itm.py:54,86-90;
+    without this, caption_score_weight silently falls back to image-only
+    scores). Same wiring as train_itm."""
+    args.img_meta_dict = getattr(args, "img_meta_dict", None)
+    args.tokenizer = getattr(args, "tokenizer", None)
+    if getattr(args, "itm_global_file", None) and args.img_meta_dict is None:
+        with open(args.itm_global_file) as f:
+            args.img_meta_dict = json.load(f)
+        from transformers import BertTokenizer
+        args.tokenizer = BertTokenizer.from_pretrained("bert-base-cased")
+
+
+def evaluate(args, split: str = "test", model=None, params=None):
     """EVAL_MODEL equivalent (eval_itm.py:28-181)."""
     setup_runtime(args)
+    _load_caption_meta(args)
 
-    model, params = build_biencoder(args, seed=args.seed)
+    if model is None:
+        model, params = build_biencoder(args, seed=args.seed)
 
     all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
                                args.num_bb)
@@ -71,12 +87,16 @@ def evaluate(args, split: str = "test"):
 def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
     print_args(args, LOGGER.info)
+    setup_runtime(args)
+    # build once: loading + torch-mapping the checkpoint (and re-jitting
+    # the encoders) per split doubles startup through the remote relay
+    model, params = build_biencoder(args, seed=args.seed)
     results = {}
     for split in ("val", "test"):
         txt_db = args.test_txt_db if split == "test" else args.val_txt_db
         if not txt_db:
             continue
-        res = evaluate(args, split)
+        res = evaluate(args, split, model=model, params=params)
         results[split] = {
             "loss": res.loss,
             "correct_ratio": res.correct_ratio,

@@ -27,7 +27,8 @@ from lightningdot_tpu.data.feat_db import ImageDbGroup
 from lightningdot_tpu.data.itm import (CollateConfig, itm_fast_collate,
                                        make_teacher_batch)
 from lightningdot_tpu.models.factory import build_biencoder
-from lightningdot_tpu.parallel.mesh import data_parallel_mesh, replicate
+from lightningdot_tpu.parallel.mesh import (data_parallel_mesh,
+                                            is_main_process, replicate)
 from lightningdot_tpu.training import hn as hn_mod
 from lightningdot_tpu.training.checkpoints import save_checkpoint
 from lightningdot_tpu.training.evaluator import eval_model_on_dataloader
@@ -131,7 +132,8 @@ def main(cmds=None):
     else:
         hard_neg_txt, hard_neg_img = None, None
 
-    train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
+    # len() needs no epoch state; the first new_epoch runs inside the
+    # epoch loop (calling it here too repeated the O(dataset) resample)
     train_dataloader = build_dataloader(train_dataset, collate, True, args)
     LOGGER.info("train dataset len = %d, dataloader len = %d",
                 len(train_dataset), len(train_dataloader))
@@ -200,7 +202,11 @@ def main(cmds=None):
         for epoch in range(args.num_train_epochs):
             LOGGER.info("*" * 70)
             train_dataset.new_epoch(hard_neg_img, hard_neg_txt)
-            train_dataloader = build_dataloader(train_dataset, collate, True, args)
+            # per-epoch seed: a fixed seed would replay the same shuffle
+            # order every epoch (the loader's rng is fresh per build)
+            train_dataloader = build_dataloader(
+                train_dataset, collate, True, args,
+                seed=(args.seed or 0) + epoch)
             t0 = time.time()
             n_ex = 0
             # host pulls are expensive on remote-attached TPUs: log the metrics
@@ -233,10 +239,10 @@ def main(cmds=None):
                         n_updates = global_step // args.gradient_accumulation_steps
                         lr = float(lr_schedule(n_updates))
                         LOGGER.info(
-                            "Epoch %d: step %d/%d, loss=%.4f acc=%.4f lr=%.2e "
-                            "(%.1f ex/s)", epoch, step + 1,
-                            len(train_dataloader), loss,
-                            float(pending["acc"]), lr,
+                            "Epoch %d: step %d/%d, loss=%.4f (smoothed "
+                            "%.4f) acc=%.4f lr=%.2e (%.1f ex/s)", epoch,
+                            step + 1, len(train_dataloader), loss,
+                            loss_meter.val, float(pending["acc"]), lr,
                             n_ex / max(time.time() - t0, 1e-6))
                         TB_LOGGER.set_step(global_step)
                         TB_LOGGER.log_metric("loss_train", loss)
@@ -248,19 +254,25 @@ def main(cmds=None):
             if guard.requested:
                 # preemption: snapshot (model + step + epoch) and exit cleanly;
                 # continue later via --biencoder_checkpoint biencoder.preempt
+                # weights-only warm start: relaunch with
+                # --biencoder_checkpoint .../biencoder.preempt (epochs and
+                # the LR schedule restart — the reference fine-tune has no
+                # mid-run resume either)
                 LOGGER.warning("preempted at step %d (epoch %d): saving "
                                "biencoder.preempt and exiting", global_step,
                                epoch)
-                save_checkpoint(
-                    os.path.join(args.output_dir, "biencoder.preempt"),
-                    model=state.params, step=global_step, epoch=epoch)
+                if is_main_process():
+                    save_checkpoint(
+                        os.path.join(args.output_dir, "biencoder.preempt"),
+                        model=state.params, step=global_step, epoch=epoch)
                 break
 
             # eval and save (train_itm.py:313-349)
             result = eval_model_on_dataloader(
                 model, state.params, val_dataloader, img2txt=val_img2txt,
                 vector_size=args.vector_size,
-                caption_score_weight=args.caption_score_weight)
+                caption_score_weight=args.caption_score_weight,
+                hnsw=args.hnsw_index)
             recall_txt, recall_img = result.recall
             recall_val = {t: (recall_txt[t] + recall_img[t]) / 2
                           for t in recall_txt}
@@ -270,7 +282,10 @@ def main(cmds=None):
             TB_LOGGER.log_scalar_dict(
                 {f"R@{k}": v for k, v in recall_val.items()}, prefix="val")
 
-            ckpt = lambda name: save_checkpoint(
+            # rank-0-only saves (reference train_itm.py:343-349): on
+            # multi-host, concurrent writers to a shared output_dir would
+            # collide on the atomic-save temp names
+            ckpt = lambda name: is_main_process() and save_checkpoint(
                 os.path.join(args.output_dir, f"biencoder.{name}"),
                 model=state.params, step=global_step, epoch=epoch)
             if current > best_eval_metric:
@@ -280,11 +295,16 @@ def main(cmds=None):
             if args.save_all_epochs:
                 ckpt(str(epoch))
 
-            # re-mine hard negatives (train_itm.py:351-358)
-            if args.num_hard_negatives > 0:
+            # re-mine hard negatives for the NEXT epoch (train_itm.py:
+            # 351-358; skipped after the last one — a full train-corpus
+            # re-encode whose result nothing would consume)
+            if (args.num_hard_negatives > 0
+                    and epoch < args.num_train_epochs - 1):
                 hard_neg_txt, hard_neg_img = hn_mod.sampled_hard_negatives(
                     model, state.params, train_dataset.datasets, eval_collate,
                     args, train_img2txt, train_txt2img, rng=rng_py)
+            elif args.num_hard_negatives > 0:
+                pass
             else:
                 assert args.hard_negatives_sampling in ("none", "random")
 

@@ -39,7 +39,8 @@ class ConcatDataset:
 
 
 def build_dataloader(dataset, collate_fn, is_train: bool, opts,
-                     batch_size: Optional[int] = None) -> DataLoader:
+                     batch_size: Optional[int] = None,
+                     seed: Optional[int] = None) -> DataLoader:
     """trainer.py:28-37.
 
     ``--loader_workers`` parallelizes whole-batch fetch+collate with order
@@ -50,7 +51,8 @@ def build_dataloader(dataset, collate_fn, is_train: bool, opts,
         batch_size = opts.train_batch_size if is_train else opts.valid_batch_size
     return DataLoader(dataset, batch_size=batch_size, shuffle=is_train,
                       drop_last=False, collate_fn=collate_fn,
-                      seed=getattr(opts, "seed", None),
+                      seed=seed if seed is not None
+                      else getattr(opts, "seed", None),
                       num_workers=getattr(opts, "loader_workers", 1)
                       if is_train else 1)
 
