@@ -19,8 +19,8 @@ import numpy as np
 
 from lightningdot_tpu import const
 from lightningdot_tpu.data.feat_db import DetectFeatDb
-from lightningdot_tpu.data.padding import (bucket_len, pad_feats, pad_ids,
-                                           pad_mask, position_ids)
+from lightningdot_tpu.data.padding import (_pool_get, bucket_len, pad_feats,
+                                           pad_ids, pad_mask, position_ids)
 from lightningdot_tpu.data.txt_db import TxtTokDb, get_ids_and_lens
 
 
@@ -35,6 +35,10 @@ class ItmFastDataset:
         self.txt_lens, self.ids = get_ids_and_lens(txt_db)
         self.ids_2_idx = {idx: i for i, idx in enumerate(self.ids)}
         self.num_hard_negatives = num_hard_negatives
+        if img_meta is not None and tokenizer is None:
+            raise ValueError("img_meta (caption blending) requires a "
+                             "tokenizer — fail here, not deep in a "
+                             "dataloader worker")
         self.img_meta = img_meta
         self.tokenizer = tokenizer
         self.train_imgs: Optional[List[str]] = None
@@ -53,6 +57,11 @@ class ItmFastDataset:
             self.train_imgs.append(img_fname)
             self.train_txts.append(id_)
             if hard_negatives_img is not None and self.num_hard_negatives > 0:
+                if hard_negatives_txt is None:
+                    raise ValueError(
+                        "hard_negatives_img and hard_negatives_txt must be "
+                        "provided together (one-sided negatives would "
+                        "crash mid-iteration)")
                 self.neg_imgs.append(
                     list(hard_negatives_img[id_][:self.num_hard_negatives]))
                 self.neg_txts.append(
@@ -226,7 +235,9 @@ class ItmValDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         gt_img_id, neg_img_ids = self._get_batch_ids(i)
-        return self.get_batch(i, [gt_img_id] + neg_img_ids)
+        # bucket=True: per-item dynamic shapes would compile one program
+        # per distinct (L, R) pair — 30 s - 2 min each through the relay
+        return self.get_batch(i, [gt_img_id] + neg_img_ids, bucket=True)
 
     def get_batch(self, i: int, img_ids: List[str],
                   bucket: bool = False) -> Dict[str, Any]:
@@ -309,22 +320,35 @@ def make_teacher_batch(batch: Dict[str, Any], n_teacher: int
     Pairs the first ``n_teacher`` images with every positive text:
     pair order = text i * n_teacher + img j. The image-side [CLS] column of
     the student mask is dropped (itm.py:167) — the joint sequence is
-    [text tokens ; regions]. ``n_teacher`` is clamped to the batch size
-    (the reference asserted N_EXAMPLES_TEACHER <= bs instead of handling
-    small batches).
+    [text tokens ; regions]. ``bs < n_teacher`` raises: the KD consumer
+    (itm_step.make_kd_fn) grids scores by the CONFIGURED n_teacher, so a
+    silently clamped batch would reshape-crash downstream (the reference
+    asserted N_EXAMPLES_TEACHER <= bs the same way).
     """
     bs = int(batch["sample_size"])
-    n_teacher = min(n_teacher, bs)
+    if bs < n_teacher:
+        raise ValueError(
+            f"KD needs batch size >= n_teacher ({bs} < {n_teacher}); "
+            f"lower n_teacher or raise train_batch_size")
     txt_ids = np.asarray(batch["txts"]["input_ids"][:bs])
     txt_mask = np.asarray(batch["txts"]["attention_mask"][:bs])
     img_feat = np.asarray(batch["imgs"]["img_feat"][:n_teacher])
     img_pos = np.asarray(batch["imgs"]["img_pos_feat"][:n_teacher])
     img_mask = np.asarray(batch["imgs"]["attention_mask"][:n_teacher, 1:])
 
+    def tile_pooled(src, reps):
+        """np.tile into a pool-owned buffer: tile's output is a reshape
+        VIEW (base set), which disqualifies it from padding.recycle — the
+        KD feature grid is ~hundreds of MB/step and re-faulting fresh
+        pages every step is the exact storm the pool exists to avoid."""
+        out = _pool_get((src.shape[0] * reps,) + src.shape[1:], src.dtype)
+        out.reshape((reps,) + src.shape)[...] = src[None]
+        return out
+
     input_ids = np.repeat(txt_ids, n_teacher, axis=0)
     txt_mask_r = np.repeat(txt_mask, n_teacher, axis=0)
-    img_feat_t = np.tile(img_feat, (bs, 1, 1))
-    img_pos_t = np.tile(img_pos, (bs, 1, 1))
+    img_feat_t = tile_pooled(img_feat, bs)
+    img_pos_t = tile_pooled(img_pos, bs)
     img_mask_t = np.tile(img_mask, (bs, 1))
 
     L = input_ids.shape[1]

@@ -136,10 +136,25 @@ class Recycler:
                 recycle(batch)
 
 
+_CLAMP_WARNED: set = set()
+
+
 def bucket_len(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
+    # above the top bucket the padders TRUNCATE to buckets[-1] (serving
+    # queries: intended; dataset records: silent data loss) — warn once
+    # per ladder so corpus-side truncation is visible
+    key = tuple(buckets)
+    if key not in _CLAMP_WARNED:
+        _CLAMP_WARNED.add(key)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sequence length %d exceeds the top bucket %d and will be "
+            "truncated (ladder %s); raise the ladder or pre-truncate "
+            "upstream if this is corpus data", n, buckets[-1], buckets)
     return buckets[-1]
 
 

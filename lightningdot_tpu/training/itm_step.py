@@ -86,6 +86,17 @@ def itm_loss_fn(model: BiEncoder, params, batch, rng, *,
         n_ctx = ctx.shape[0]
         ctx_valid = jnp.ones((n_ctx,), jnp.float32)
         ctx_valid = ctx_valid.at[:n_pos_ctx].set(valid)
+        if n_ctx > n_pos_ctx:
+            # hard-negative rows are item-major (k per item,
+            # itm_fast_collate); a PAD item's negatives are duplicates of
+            # the last real item's and must not act as extra contexts
+            # (they would double-count those negatives in every real
+            # row's softmax denominator)
+            k = (n_ctx - n_pos_ctx) // n_pos_ctx
+            if k > 0:
+                neg_valid = jnp.repeat(valid, k)
+                ctx_valid = ctx_valid.at[
+                    n_pos_ctx:n_pos_ctx + neg_valid.shape[0]].set(neg_valid)
         col_mask = (1.0 - ctx_valid)[None, :] * neg_inf
         # keep each row's own positive column unmasked
         diag = jax.nn.one_hot(pos_idx, n_ctx)

@@ -86,3 +86,52 @@ def test_hard_negative_batch_shapes():
 
 def test_graft_dryrun_multichip():
     dryrun_multichip(8)
+
+
+def test_padded_batch_loss_matches_exact_with_hard_negatives():
+    """fixed_batch padding with hard negatives: the pad item's duplicated
+    negatives must not enter any real row's softmax denominator — the
+    padded batch's loss equals the exact (unpadded) batch's."""
+    k = 2  # negatives per item
+    n_real, n_pad = 3, 5
+
+    def build(bs, pad_to):
+        rng = np.random.default_rng(0)
+        items = []
+        for i in range(bs):
+            b = _synthetic_batch(1, txt_len=16, n_regions=8, vocab=512,
+                                 img_dim=16, seed=100 + i)
+            items.append(b)
+        # assemble [pos..., negs item-major] like itm_fast_collate
+        if pad_to > bs:
+            items = items + [items[-1]] * (pad_to - bs)
+        negs = []
+        for i in range(len(items)):
+            for j in range(k):
+                negs.append(_synthetic_batch(
+                    1, txt_len=16, n_regions=8, vocab=512, img_dim=16,
+                    seed=1000 + 10 * (i % bs) + j))
+        def cat(field):
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[it[field] for it in items + negs])
+        batch = {"txts": cat("txts"), "imgs": cat("imgs"), "caps": None,
+                 "valid_mask": (np.arange(len(items)) < bs
+                                ).astype(np.float32)}
+        return batch
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    exact = build(n_real, n_real)
+    padded = build(n_real, n_pad)
+    loss_e, (m_e, _) = itm_loss_fn(model, params, exact,
+                                   jax.random.PRNGKey(0),
+                                   deterministic=True,
+                                   num_hard_negatives=k)
+    loss_p, (m_p, _) = itm_loss_fn(model, params, padded,
+                                   jax.random.PRNGKey(0),
+                                   deterministic=True,
+                                   num_hard_negatives=k)
+    np.testing.assert_allclose(float(loss_p), float(loss_e), rtol=1e-5)
+    np.testing.assert_allclose(float(m_p["acc"]), float(m_e["acc"]),
+                               rtol=1e-5)
