@@ -27,7 +27,7 @@ from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser("eval_itm")
+    parser = argparse.ArgumentParser("eval_itm", allow_abbrev=False)
     default_params(parser)
     add_itm_params(parser)
     add_logging_params(parser)

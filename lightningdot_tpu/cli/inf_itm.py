@@ -23,7 +23,7 @@ from lightningdot_tpu.utils.metrics import itm_eval
 
 
 def build_parser():
-    p = argparse.ArgumentParser("inf_itm")
+    p = argparse.ArgumentParser("inf_itm", allow_abbrev=False)
     p.add_argument("--txt_db", required=True)
     p.add_argument("--img_db", required=True)
     p.add_argument("--checkpoint", required=True,

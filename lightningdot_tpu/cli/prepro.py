@@ -277,7 +277,7 @@ def parse_rt_log(log_file: str, n_captions: int = 5, max_len: int = 12
 
 
 def main(cmds=None):
-    parser = argparse.ArgumentParser("prepro")
+    parser = argparse.ArgumentParser("prepro", allow_abbrev=False)
     sub = parser.add_subparsers(dest="task", required=True)
 
     p_txt = sub.add_parser("txt", help="annotations -> text DB")

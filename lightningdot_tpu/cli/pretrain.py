@@ -46,7 +46,7 @@ from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser():
-    p = argparse.ArgumentParser("pretrain")
+    p = argparse.ArgumentParser("pretrain", allow_abbrev=False)
     p.add_argument("--config", required=True)
     p.add_argument("--output_dir", default=None)
     p.add_argument("--num_train_steps", type=int, default=None)

@@ -40,7 +40,7 @@ RERANK_THRESHOLDS = (10, 20, 50, 100)
 
 
 def build_parser():
-    parser = argparse.ArgumentParser("rerank")
+    parser = argparse.ArgumentParser("rerank", allow_abbrev=False)
     default_params(parser)
     add_itm_params(parser)
     add_logging_params(parser)

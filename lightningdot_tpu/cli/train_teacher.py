@@ -43,7 +43,7 @@ from lightningdot_tpu.utils.runtime import setup_runtime
 
 
 def build_parser():
-    p = argparse.ArgumentParser("train_teacher")
+    p = argparse.ArgumentParser("train_teacher", allow_abbrev=False)
     p.add_argument("--config", default=None)
     p.add_argument("--model_config", required=True)
     p.add_argument("--checkpoint", default=None,

@@ -40,7 +40,7 @@ from lightningdot_tpu.utils.runtime import dropout_key, setup_runtime
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser("train_vqa")
+    parser = argparse.ArgumentParser("train_vqa", allow_abbrev=False)
     default_params(parser)
     add_itm_params(parser)  # db paths + region-feature knobs
     add_logging_params(parser)

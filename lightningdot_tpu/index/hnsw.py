@@ -44,6 +44,8 @@ def hnsw_lib() -> Optional[ctypes.CDLL]:
     lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.hnsw_load.restype = ctypes.c_void_p
     lib.hnsw_load.argtypes = [ctypes.c_char_p]
+    lib.hnsw_dim.restype = ctypes.c_int
+    lib.hnsw_dim.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -70,12 +72,17 @@ class DenseHNSWFlatIndexer:
         """faiss_indexers.py:107-138: one-shot indexing with the phi norm."""
         if not len(data):  # empty shard: no-op, like DenseFlatIndex
             return
-        if self.phi > 0:
+        if self.ntotal > 0:  # phi==0 (all-zero vectors) must still trip it
             raise RuntimeError(
                 "DPR HNSWF index needs to index all data at once, "
                 "results will be unpredictable otherwise.")
         vecs = np.stack([np.asarray(v, np.float32).reshape(-1)
                          for _, v in data])
+        if vecs.shape[1] != self.vector_sz:
+            # the native add reads n*(vector_sz+1) floats — a mismatched
+            # width would read out of bounds / corrupt the index
+            raise ValueError(
+                f"vector size {vecs.shape[1]} != index size {self.vector_sz}")
         norms = (vecs ** 2).sum(axis=1)
         phi = float(norms.max())
         aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
@@ -96,6 +103,9 @@ class DenseHNSWFlatIndexer:
         q = np.asarray(query_vectors, np.float32)
         if q.ndim == 1:
             q = q[None]
+        if q.shape[1] != self.vector_sz:
+            raise ValueError(
+                f"query size {q.shape[1]} != index size {self.vector_sz}")
         aux = np.zeros((q.shape[0], 1), np.float32)
         q = np.ascontiguousarray(np.concatenate([q, aux], axis=1))
         k = min(top_docs, self.ntotal)
@@ -113,7 +123,12 @@ class DenseHNSWFlatIndexer:
         return results
 
     def serialize(self, file: str) -> None:
-        self._lib.hnsw_save(self._h, (file + ".index.hnsw").encode())
+        # hnsw_save checks every fwrite and returns -1 on failure (a full
+        # disk must not look like a saved index)
+        if self._lib.hnsw_save(self._h,
+                               (file + ".index.hnsw").encode()) != 0:
+            raise OSError(f"hnsw_save failed for {file}.index.hnsw "
+                          f"(disk full / unwritable?)")
         with open(file + ".index_meta.dpr", "wb") as f:
             pickle.dump((self.index_id_to_db_id, self.phi), f)
 
@@ -121,13 +136,16 @@ class DenseHNSWFlatIndexer:
         h = self._lib.hnsw_load((file + ".index.hnsw").encode())
         if not h:
             raise OSError(f"cannot load hnsw index from {file}")
+        dim = int(self._lib.hnsw_dim(h))
+        if dim != self.vector_sz + 1:
+            self._lib.hnsw_free(h)
+            raise ValueError(
+                f"index on disk has dim {dim - 1}, this indexer expects "
+                f"{self.vector_sz} (queries would read out of bounds)")
         self._lib.hnsw_free(self._h)
         self._h = h
         with open(file + ".index_meta.dpr", "rb") as f:
-            self.index_id_to_db_id, _ = pickle.load(f)
-        # re-indexing after deserialization must be rejected
-        # (faiss_indexers.py:151-155)
-        self.phi = 1.0
+            self.index_id_to_db_id, self.phi = pickle.load(f)
 
     def __del__(self):
         try:

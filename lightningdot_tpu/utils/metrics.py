@@ -28,7 +28,10 @@ def recall_from_ranked_ids(query_ids: Sequence[Any],
         ranked = list(ranked_db_ids[q])
         for k in ks:
             recall[k] += gt_of_query[q] in ranked[:k]
-    n = len(ranked_db_ids)
+    # denominator = queries actually counted: dividing by the MAPPING size
+    # would inflate recall past 1.0 when query_ids carries duplicates (the
+    # evaluator's dicts dedupe) or deflate it when the mapping has extras
+    n = max(len(query_ids), 1)
     return {k: v / n for k, v in recall.items()}
 
 
@@ -45,7 +48,7 @@ def recall_any_from_ranked_ids(query_ids: Sequence[Any],
         ranked = list(ranked_db_ids[q])
         for k in ks:
             recall[k] += any(t in ranked[:k] for t in gts_of_query[q])
-    n = len(ranked_db_ids)
+    n = max(len(uniq), 1)  # see recall_from_ranked_ids
     return {k: v / n for k, v in recall.items()}
 
 
@@ -77,7 +80,8 @@ def itm_eval(score_matrix: np.ndarray, txt_ids: Sequence[Any],
     for j, img_id in enumerate(img_ids):
         gt_is = {txt2i[t] for t in img2txts[img_id] if t in txt2i}
         col = rank_img[:, j]
-        found = [r for r in range(10) if col[r] in gt_is]
+        # col has min(10, n_txt) rows — range over its real length
+        found = [r for r in range(col.shape[0]) if col[r] in gt_is]
         rank = found[0] if found else 10
         tr_r1 += rank < 1
         tr_r5 += rank < 5

@@ -250,6 +250,8 @@ void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
 
 int64_t hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
 
+int hnsw_dim(void* h) { return static_cast<HNSW*>(h)->dim_; }
+
 int hnsw_search(void* h, const float* q, int k, int ef, int32_t* out_ids,
                 float* out_dists) {
   HNSW* x = static_cast<HNSW*>(h);
