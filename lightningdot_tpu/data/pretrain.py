@@ -31,8 +31,22 @@ from lightningdot_tpu.data.padding import (bucket_len, pad_feats, pad_ids,
                                            pad_mask, position_ids)
 from lightningdot_tpu.data.txt_db import TxtTokDb, get_ids_and_lens
 
-MAX_MASKED_TOKENS = 16    # >= ceil(0.15 * 64) + slack
-MAX_MASKED_REGIONS = 32   # >= 0.15 * 100 + slack
+MAX_MASKED_TOKENS = 16    # >= ceil(0.15 * 64) + slack — scale this
+MAX_MASKED_REGIONS = 32   # (cfg.max_masked_tokens) with longer text ladders
+
+_MASK_OVERFLOW_WARNED = [False]
+
+
+def _warn_mask_overflow(n_masked: int, cap: int) -> None:
+    if not _MASK_OVERFLOW_WARNED[0]:
+        _MASK_OVERFLOW_WARNED[0] = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "an example has %d masked tokens but max_masked_tokens=%d — "
+            "the overflow is masked in the input with no loss signal; "
+            "raise PretrainCollateConfig.max_masked_tokens for long text",
+            n_masked, cap)
 
 
 def random_word(tokens: List[int], vocab_range, mask: int,
@@ -70,8 +84,14 @@ def _get_img_mask(mask_prob: float, num_bb: int, rng: random.Random
 def _sample_negative(sample_pool, ground_truths, num_sample,
                      rng: random.Random):
     """_sample_negative_rand (itm_pre.py:39-44)."""
-    outputs = ground_truths[:1]
     gts = set(ground_truths)
+    if not any(p not in gts for p in sample_pool):
+        # rejection sampling can never terminate (e.g. a single-image
+        # shard): fail loudly instead of hanging the loader
+        raise ValueError(
+            f"no negatives available: sample pool ({len(sample_pool)} "
+            f"entries) contains only ground truths")
+    outputs = ground_truths[:1]
     while any(o in gts for o in outputs):
         outputs = rng.sample(sample_pool, num_sample)
     return outputs
@@ -186,7 +206,10 @@ class ItmPreDataset(_PairDataset):
                  seed: int = 0):
         super().__init__(txt_db, img_db, seed)
         self.neg_sample_p = neg_sample_p
-        self.all_imgs = list({txt_db[i]["img_fname"] for i in self.ids})
+        # sorted: a raw set() iterates in str-hash order, which varies per
+        # process (PYTHONHASHSEED) and would defeat the seeded sampling's
+        # cross-run/cross-host bit-reproducibility
+        self.all_imgs = sorted({txt_db[i]["img_fname"] for i in self.ids})
         self.new_epoch()
 
     def new_epoch(self):
@@ -307,7 +330,13 @@ def mlm_collate(items: List[dict],
     labels = np.zeros((n, M), np.int32)
     weights = np.zeros((n, M), np.float32)
     for i, it in enumerate(items):
-        idx = [j for j, l in enumerate(it["txt_labels"]) if l != -1][:M]
+        all_idx = [j for j, l in enumerate(it["txt_labels"]) if l != -1]
+        if len(all_idx) > M:
+            # the overflowed tokens were already [MASK]ed in input_ids but
+            # lose their loss signal — the default M assumes <=64-token
+            # text; raise cfg.max_masked_tokens for longer ladders
+            _warn_mask_overflow(len(all_idx), M)
+        idx = all_idx[:M]
         positions[i, :len(idx)] = idx
         labels[i, :len(idx)] = [it["txt_labels"][j] for j in idx]
         if i < n_valid:
@@ -343,12 +372,15 @@ def _region_mask_arrays(items, cfg, R, with_soft_labels: bool, n_valid: int):
     # multi-MB target tensor comes from the recycling pool (cold pages are
     # catastrophically slow on some hosts — data/padding.py pool notes)
     feat_targets = _pool_get((n, M, tgt_dim), np.float32)
-    feat_targets[:] = 0
     for i, it in enumerate(items):
         mask = it["img_mask"]
         img_masks[i, :len(mask)] = mask
         idx = np.nonzero(mask)[0][:M]
         positions[i, :len(idx)] = idx + 1
+        # zero only the tail rows: a full-buffer memset would touch the
+        # whole multi-MB pooled target tensor before the loop overwrites
+        # most of it (pad_feats uses the same per-row pattern)
+        feat_targets[i, len(idx):] = 0
         if with_soft_labels:
             feat_targets[i, :len(idx)] = it["soft_labels"][idx]
         else:

@@ -54,10 +54,13 @@ class BiEncoderNllLoss:
     @staticmethod
     def calc(q_vectors, ctx_vectors, caption_vectors, positive_idx,
              hard_negative_idx=None, caption_score_weight: float = 0.1,
-             reduction: str = "mean"):
+             reduction: str = "mean", col_valid=None):
         """Returns (loss, correct_prediction_count, scores).
 
         ``positive_idx``: int array [n_q] of the positive ctx column per query.
+        ``col_valid``: optional [n_ctx] 0/1 mask — invalid context columns
+        (fixed-size batch padding duplicates) are excluded from every OTHER
+        row's softmax denominator (each row's own positive stays unmasked).
         """
         scores_img = dot_product_scores(q_vectors, ctx_vectors)
         if caption_vectors is not None and caption_score_weight != 0:
@@ -68,6 +71,12 @@ class BiEncoderNllLoss:
             scores = scores_img
 
         positive_idx = jnp.asarray(positive_idx)
+        if col_valid is not None:
+            col_mask = (1.0 - jnp.asarray(col_valid, scores.dtype)
+                        )[None, :] * -1e30
+            diag = jax.nn.one_hot(positive_idx, scores.shape[1],
+                                  dtype=scores.dtype)
+            scores = scores + col_mask * (1.0 - diag)
         log_probs = jax.nn.log_softmax(scores, axis=1)
         nll = -jnp.take_along_axis(log_probs, positive_idx[:, None],
                                    axis=1)[:, 0]
@@ -391,10 +400,16 @@ class BiEncoderForPretraining:
         txt, img, cap = self.bi_encoder.apply(
             params["bert"], batch, deterministic=deterministic, rng=rng)
         pos_idx = batch["pos_ctx_indices"]
+        # fixed-size padding duplicates the last item: its copies must not
+        # act as extra negative context columns in the real rows' softmax
+        # denominators (weights already zero the pad rows' own loss)
+        col_valid = batch.get("weights")
         loss1, correct1, scores1 = BiEncoderNllLoss.calc(
-            txt, img, cap, pos_idx, None, 0.0, reduction="none")
+            txt, img, cap, pos_idx, None, 0.0, reduction="none",
+            col_valid=col_valid)
         loss2, correct2, scores2 = BiEncoderNllLoss.calc(
-            img, txt, cap, pos_idx, None, 0.0, reduction="none")
+            img, txt, cap, pos_idx, None, 0.0, reduction="none",
+            col_valid=col_valid)
         loss = loss1 * 0.5 + loss2 * 0.5
         if compute_loss:
             return loss, None
