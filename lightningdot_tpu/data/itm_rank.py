@@ -22,22 +22,30 @@ from lightningdot_tpu.data.pretrain import _sample_negative
 from lightningdot_tpu.data.txt_db import TxtTokDb, get_ids_and_lens
 
 
+def _init_id_maps(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
+                  neg_sample_size: int, seed: int) -> None:
+    """Shared shard-restricted id-map setup (encodes the no-positive-leak
+    invariant: img2txts is built from THIS shard's ids only, so a mined
+    negative can never be another shard's positive). One implementation
+    for ItmRankDataset and the self-mining group datasets."""
+    assert neg_sample_size > 0, "need at least 1 negative sample"
+    self.txt_db = txt_db
+    self.img_db = img_db
+    _, self.ids = get_ids_and_lens(txt_db)
+    txt2img = txt_db.txt2img
+    self.txt2img = {i: txt2img[i] for i in self.ids}
+    self.img2txts = defaultdict(list)
+    for id_, img in self.txt2img.items():
+        self.img2txts[img].append(id_)
+    self.img_name_list = list(self.img2txts.keys())
+    self.neg_sample_size = neg_sample_size
+    self.rng = random.Random(seed)
+
+
 class ItmRankDataset:
     def __init__(self, txt_db: TxtTokDb, img_db: DetectFeatDb,
                  neg_sample_size: int = 1, seed: int = 0):
-        assert neg_sample_size > 0, \
-            "ItmRankDataset needs at least 1 negative sample"
-        self.txt_db = txt_db
-        self.img_db = img_db
-        _, self.ids = get_ids_and_lens(txt_db)
-        txt2img = txt_db.txt2img
-        self.txt2img = {i: txt2img[i] for i in self.ids}
-        self.img2txts = defaultdict(list)
-        for id_, img in self.txt2img.items():
-            self.img2txts[img].append(id_)
-        self.img_name_list = list(self.img2txts.keys())
-        self.neg_sample_size = neg_sample_size
-        self.rng = random.Random(seed)
+        _init_id_maps(self, txt_db, img_db, neg_sample_size, seed)
 
     def __len__(self):
         return len(self.ids)
@@ -151,19 +159,8 @@ class _RankGroupDataset:
                  neg_sample_size: int = 1, seed: int = 0,
                  txt_buckets: Sequence[int] = const.TXT_LEN_BUCKETS,
                  img_buckets: Sequence[int] = const.IMG_LEN_BUCKETS):
-        assert neg_sample_size > 0
-        self.txt_db = txt_db
-        self.img_db = img_db
-        _, self.ids = get_ids_and_lens(txt_db)
-        txt2img = txt_db.txt2img
-        self.txt2img = {i: txt2img[i] for i in self.ids}
-        self.img2txts = defaultdict(list)
-        for id_, img in self.txt2img.items():
-            self.img2txts[img].append(id_)
-        self.img_name_list = list(self.img2txts.keys())
+        _init_id_maps(self, txt_db, img_db, neg_sample_size, seed)
         self.txt_name_list = list(self.txt2img.keys())
-        self.neg_sample_size = neg_sample_size
-        self.rng = random.Random(seed)
         self.txt_buckets = txt_buckets
         self.img_buckets = img_buckets
 

@@ -85,12 +85,14 @@ def _sample_negative(sample_pool, ground_truths, num_sample,
                      rng: random.Random):
     """_sample_negative_rand (itm_pre.py:39-44)."""
     gts = set(ground_truths)
-    if not any(p not in gts for p in sample_pool):
-        # rejection sampling can never terminate (e.g. a single-image
-        # shard): fail loudly instead of hanging the loader
+    n_free = sum(1 for p in sample_pool if p not in gts)
+    if n_free < num_sample:
+        # rejection sampling can never terminate (every num_sample-subset
+        # of the pool must contain an excluded element — e.g. tiny shards
+        # or hard_neg_size close to the pool): fail loudly, don't hang
         raise ValueError(
-            f"no negatives available: sample pool ({len(sample_pool)} "
-            f"entries) contains only ground truths")
+            f"cannot draw {num_sample} negatives: only {n_free} non-"
+            f"ground-truth candidates in a pool of {len(sample_pool)}")
     outputs = ground_truths[:1]
     while any(o in gts for o in outputs):
         outputs = rng.sample(sample_pool, num_sample)

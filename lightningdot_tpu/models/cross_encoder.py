@@ -153,6 +153,16 @@ class CrossEncoder:
                                  self.compute_dtype).astype(jnp.float32)
         ot_loss = None
         if ot_inputs is not None:
+            if batch.get("gather_index") is not None:
+                # a compacting gather_index places each example's regions
+                # at its TRUE text length, so splitting at the padded tl
+                # would hand OT region embeddings as text (the reference
+                # un-scatters via ot_scatter first, model.py:640-653) —
+                # reject rather than compute silently-wrong OT
+                raise NotImplementedError(
+                    "itm_scores OT with a compacting gather_index needs "
+                    "the ot_scatter un-compaction; pass uncompacted "
+                    "batches (gather_index=None) for OT")
             tl = batch["input_ids"].shape[1]
             txt_emb = seq[:, :tl, :].astype(jnp.float32)
             img_emb = seq[:, tl:, :].astype(jnp.float32)
@@ -245,16 +255,31 @@ class CrossEncoderFast:
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         n = batch["attn_masks_img"].shape[0]
         ids = batch["input_ids"]
-        if ids.shape[0] == 1:
+        # under dropout each pair must draw its own text masks — only the
+        # deterministic scoring pass may share one encode
+        shared_txt = (ids.shape[0] == 1 and n > 1
+                      and (deterministic or rng is None))
+        if ids.shape[0] == 1 and not shared_txt:
             ids = jnp.broadcast_to(ids, (n,) + ids.shape[1:])
         pos = jnp.broadcast_to(batch["position_ids"],
-                               (n, batch["position_ids"].shape[-1]))
+                               (ids.shape[0], batch["position_ids"].shape[-1]))
+        txt_mask = batch["attn_masks_text"]
+        if shared_txt and txt_mask.shape[0] != 1:
+            txt_mask = txt_mask[:1]
+        # a SHARED text (mining pools pair one text against n images) is
+        # encoded ONCE and its pooled vector broadcast — broadcasting the
+        # ids first would run the full-depth text tower n times on
+        # identical input (numerically identical in the deterministic
+        # scoring pass)
         txt_seq, _ = enc.encode_text(
-            params["bert"], self.cfg, ids, batch["attn_masks_text"], pos,
+            params["bert"], self.cfg, ids, txt_mask, pos,
             deterministic=deterministic, rng=rngs[0],
             dtype=self.compute_dtype, remat=self.remat, project=False)
         pooled_txt = enc.pooler(params["bert"]["pooler"], txt_seq,
                                 self.compute_dtype)
+        if shared_txt:
+            pooled_txt = jnp.broadcast_to(pooled_txt,
+                                          (n,) + pooled_txt.shape[1:])
         feat = batch["img_feat"]
         if feat.shape[0] == 1:
             feat = jnp.broadcast_to(feat, (n,) + feat.shape[1:])

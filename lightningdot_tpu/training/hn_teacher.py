@@ -135,15 +135,36 @@ def compute_hard_neg(score_fn: Callable, loader, datasets,
                      hard_negative_num: int, hard_neg_dir: str,
                      rank: int = 0) -> None:
     """Mine, dump JSONs, reload into the training dataset(s)
-    (train_itm.py:50-65)."""
+    (train_itm.py:50-65).
+
+    Multi-host: each host mines its text shard; the img->txt map is
+    merged across hosts (reference: all_gather_list + rank-0 write +
+    barrier, train_itm.py:52-65) so the shared img2hardtxts.json carries
+    every shard's texts, only the main process writes it, and every host
+    waits for the files before reloading.
+    """
+    from lightningdot_tpu.parallel.mesh import is_main_process
+    from lightningdot_tpu.utils.misc import host_all_gather
+
     txt2hardimgs, img2hardtxts = get_hard_negs(score_fn, loader,
                                                hard_negative_num)
+    # txt2hardimgs is per-rank by design (each host trains its own text
+    # shard); img2hardtxts must merge every host's texts per image
+    merged: dict = {}
+    for part in host_all_gather(img2hardtxts):
+        for img, txts in part.items():
+            merged.setdefault(img, []).extend(txts)
     os.makedirs(hard_neg_dir, exist_ok=True)
     with open(os.path.join(hard_neg_dir,
                            f"txt2hardimgs_rank{rank}.json"), "w") as f:
         json.dump(txt2hardimgs, f)
-    with open(os.path.join(hard_neg_dir, "img2hardtxts.json"), "w") as f:
-        json.dump(img2hardtxts, f)
+    if is_main_process():
+        with open(os.path.join(hard_neg_dir, "img2hardtxts.json"),
+                  "w") as f:
+            json.dump(merged, f)
+    # barrier: no host may reload before the write lands (host_all_gather
+    # is itself a collective, so every host reaches this point together)
+    host_all_gather("hard-neg-write-done")
     if not isinstance(datasets, (list, tuple)):
         datasets = [datasets]
     for dset in datasets:

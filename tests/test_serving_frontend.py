@@ -31,8 +31,11 @@ def test_results_match_direct_queries(retriever):
         got = fe.retrieve_many(queries, top=7)
     for g, w in zip(got, want):
         assert [i for i, _ in g] == [i for i, _ in w]
+        # group sizes depend on timing, and each batch shape is its own
+        # XLA program whose bf16-corpus dot rounds differently — scores
+        # agree at bf16 resolution, rankings exactly
         np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
-                                   rtol=1e-5)
+                                   rtol=2e-3)
 
 
 def test_concurrent_submissions_coalesce(retriever):
