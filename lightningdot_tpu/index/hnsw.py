@@ -33,6 +33,9 @@ def hnsw_lib() -> Optional[ctypes.CDLL]:
     lib.hnsw_add_batch.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_float),
                                    ctypes.c_int64]
+    lib.hnsw_add_batch_mt.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int64, ctypes.c_int]
     lib.hnsw_size.restype = ctypes.c_int64
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
     lib.hnsw_search.restype = ctypes.c_int
@@ -54,7 +57,7 @@ class DenseHNSWFlatIndexer:
 
     def __init__(self, vector_sz: int, buffer_size: int = 50000,
                  store_n: int = 512, ef_search: int = 128,
-                 ef_construction: int = 200):
+                 ef_construction: int = 200, build_threads: int = 0):
         lib = hnsw_lib()
         if lib is None:
             raise RuntimeError("native hnsw library unavailable")
@@ -65,6 +68,11 @@ class DenseHNSWFlatIndexer:
         self.store_n = store_n
         self.ef_construction = ef_construction
         self._h = lib.hnsw_new(vector_sz + 1, store_n, ef_construction)
+        # 0 = all cores, like faiss's OpenMP build; unlike faiss the
+        # parallel build is deterministic in the thread count (hnsw.cc::
+        # add_batch_mt: frozen-snapshot searches + in-order link apply)
+        import os
+        self.build_threads = build_threads or (os.cpu_count() or 1)
         self.index_id_to_db_id: List[Any] = []
         self.phi = 0.0
 
@@ -88,9 +96,9 @@ class DenseHNSWFlatIndexer:
         aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
         hnsw_vecs = np.ascontiguousarray(
             np.concatenate([vecs, aux[:, None]], axis=1))
-        self._lib.hnsw_add_batch(
+        self._lib.hnsw_add_batch_mt(
             self._h, hnsw_vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            hnsw_vecs.shape[0])
+            hnsw_vecs.shape[0], self.build_threads)
         self.index_id_to_db_id.extend(t[0] for t in data)
         self.phi = phi
 

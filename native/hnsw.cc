@@ -12,6 +12,7 @@
 // with bidirectional links and pruning.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <mutex>
@@ -19,6 +20,7 @@
 #include <cstring>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -36,6 +38,13 @@ struct Farther {  // max-heap on dist
   bool operator()(const Pair& a, const Pair& b) const {
     return a.dist < b.dist;
   }
+};
+
+// Per-thread visited-set scratch for search_layer: an epoch-tagged array
+// (fill only on the rare tag wraparound) instead of a per-call clear.
+struct Scratch {
+  std::vector<uint32_t> visited;
+  uint32_t tag = 0;
 };
 
 class HNSW {
@@ -60,8 +69,7 @@ class HNSW {
   // links_[l][node] = neighbor vector; level 0 stored in links0_
   std::vector<std::vector<std::vector<int32_t>>> upper_links_;
   std::vector<std::vector<int32_t>> links0_;
-  std::vector<uint32_t> visited_;
-  uint32_t visit_tag_ = 0;
+  Scratch scratch_;  // serial-path visited scratch (mt build uses its own)
   // guards the shared visited_/visit_tag_ scratch (and the graph during
   // adds): ctypes releases the GIL, so Python threads can call search/add
   // concurrently on one index
@@ -113,26 +121,31 @@ class HNSW {
   // ef-bounded best-first search on `level`; returns up to ef closest
   std::vector<Pair> search_layer(const float* q, int start, int ef,
                                  int level) {
-    if (++visit_tag_ == 0) {
-      std::fill(visited_.begin(), visited_.end(), 0);
-      visit_tag_ = 1;
+    return search_layer(q, start, ef, level, scratch_);
+  }
+
+  std::vector<Pair> search_layer(const float* q, int start, int ef,
+                                 int level, Scratch& s) {
+    if (++s.tag == 0) {
+      std::fill(s.visited.begin(), s.visited.end(), 0);
+      s.tag = 1;
     }
-    visited_.resize(size(), 0);
+    s.visited.resize(size(), 0);
 
     std::priority_queue<Pair, std::vector<Pair>, Nearer> candidates;
     std::priority_queue<Pair, std::vector<Pair>, Farther> results;
     const float d0 = dist(q, vec(start));
     candidates.push({d0, start});
     results.push({d0, start});
-    visited_[start] = visit_tag_;
+    s.visited[start] = s.tag;
 
     while (!candidates.empty()) {
       Pair c = candidates.top();
       if (c.dist > results.top().dist && (int)results.size() >= ef) break;
       candidates.pop();
       for (int32_t nb : neighbors(c.id, level)) {
-        if (visited_[nb] == visit_tag_) continue;
-        visited_[nb] = visit_tag_;
+        if (s.visited[nb] == s.tag) continue;
+        s.visited[nb] = s.tag;
         const float d = dist(q, vec(nb));
         if ((int)results.size() < ef || d < results.top().dist) {
           candidates.push({d, nb});
@@ -197,7 +210,6 @@ class HNSW {
     for (int l = (int)upper_links_.size(); l < level; ++l)
       upper_links_.emplace_back(std::vector<std::vector<int32_t>>());
     for (auto& layer : upper_links_) layer.resize(size());
-    visited_.resize(size(), 0);
 
     if (entry_ < 0) {
       entry_ = id;
@@ -214,6 +226,83 @@ class HNSW {
     if (level > max_level_) {
       max_level_ = level;
       entry_ = id;
+    }
+  }
+
+  // Multi-threaded batch insertion, deterministic in the thread count.
+  //
+  // faiss parallelizes IndexHNSW construction with OpenMP + per-node
+  // locks; that build is schedule-dependent (the graph differs run to
+  // run). Here insertion is split into (a) a parallel candidate-search
+  // phase over a FROZEN graph snapshot — the ~95% of build cost that is
+  // 769-d distance evals — and (b) a serial link-application phase in
+  // node order. Level draws come from the same rng_ sequence as the
+  // serial path and searches read only pre-chunk nodes, so the built
+  // graph is a pure function of the inputs: identical for any n_threads
+  // (including 1). The only semantic difference vs one-at-a-time adds is
+  // that nodes within one chunk do not see each other as candidates —
+  // with kChunk=256 on corpora of 10^5 this is noise (recall measured
+  // unchanged, PERF.md), same trade-off as any batched ANN build.
+  void add_batch_mt(const float* vecs, int64_t n, int n_threads) {
+    const int kWarmup = 1024;  // serial until the graph is worth freezing
+    const int kChunk = 256;    // fixed (not thread-scaled): determinism
+    int64_t i = 0;
+    while (size() < kWarmup && i < n) {
+      add(vecs + i * dim_);
+      ++i;
+    }
+    std::vector<Scratch> scratch(std::max(1, n_threads));
+    // per-node, per-level candidate lists for the current chunk
+    std::vector<std::vector<std::vector<Pair>>> cands(kChunk);
+    while (i < n) {
+      const int c = (int)std::min<int64_t>(kChunk, n - i);
+      const int base = size();
+      const float* v0 = vecs + i * dim_;
+      data_.insert(data_.end(), v0, v0 + (size_t)c * dim_);
+      std::vector<int> lvls(c);
+      int top = (int)upper_links_.size();
+      for (int j = 0; j < c; ++j) {
+        lvls[j] = random_level();
+        top = std::max(top, lvls[j]);
+        levels_.push_back(lvls[j]);
+        links0_.emplace_back();
+      }
+      for (int l = (int)upper_links_.size(); l < top; ++l)
+        upper_links_.emplace_back();
+      for (auto& layer : upper_links_) layer.resize(size());
+      const int snap_entry = entry_;
+      const int snap_max = max_level_;
+      std::atomic<int> next(0);
+      auto worker = [&](int t) {
+        Scratch& s = scratch[t];
+        for (;;) {
+          const int j = next.fetch_add(1);
+          if (j >= c) break;
+          const float* q = vec(base + j);
+          int cur = snap_entry;
+          for (int l = snap_max; l > lvls[j]; --l) cur = greedy(q, cur, l);
+          auto& per = cands[j];
+          per.assign(std::min(lvls[j], snap_max) + 1, {});
+          for (int l = std::min(lvls[j], snap_max); l >= 0; --l) {
+            per[l] = search_layer(q, cur, efc_, l, s);
+            cur = per[l].front().id;
+          }
+        }
+      };
+      std::vector<std::thread> pool;
+      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
+      worker(0);
+      for (auto& th : pool) th.join();
+      for (int j = 0; j < c; ++j) {
+        const int id = base + j;
+        for (int l = std::min(lvls[j], snap_max); l >= 0; --l)
+          connect(id, cands[j][l], l);
+        if (lvls[j] > max_level_) {
+          max_level_ = lvls[j];
+          entry_ = id;
+        }
+      }
+      i += c;
     }
   }
 
@@ -246,6 +335,15 @@ void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
   HNSW* idx = static_cast<HNSW*>(h);
   std::lock_guard<std::mutex> lock(idx->mu_);
   for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim_);
+}
+
+// Parallel build; the resulting graph is identical for every n_threads
+// (see add_batch_mt). n_threads<=1 degrades to chunked single-thread.
+void hnsw_add_batch_mt(void* h, const float* vecs, int64_t n,
+                       int n_threads) {
+  HNSW* idx = static_cast<HNSW*>(h);
+  std::lock_guard<std::mutex> lock(idx->mu_);
+  idx->add_batch_mt(vecs, n, std::max(1, n_threads));
 }
 
 int64_t hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
@@ -332,7 +430,6 @@ void* hnsw_load(const char* path) {
     x->upper_links_.resize(n_layers);
     for (auto& layer : x->upper_links_) read_links(layer);
   }
-  x->visited_.resize(n, 0);
   fclose(f);
   if (!ok) {
     delete x;

@@ -50,15 +50,17 @@ def main():
     aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
     hvecs = np.ascontiguousarray(np.concatenate([corpus, aux[:, None]],
                                                 axis=1))
+    import os
+    threads = int(os.environ.get("LDOT_HNSW_THREADS", os.cpu_count() or 1))
     for lo in range(0, n, 5000):
         hi = min(lo + 5000, n)
         chunk = np.ascontiguousarray(hvecs[lo:hi])
-        idx._lib.hnsw_add_batch(
+        idx._lib.hnsw_add_batch_mt(
             idx._h, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            hi - lo)
+            hi - lo, threads)
         el = time.perf_counter() - t0
-        print(f"  built {hi}/{n} in {el:.0f}s ({hi / el:.0f} vec/s)",
-              flush=True)
+        print(f"  built {hi}/{n} in {el:.0f}s ({hi / el:.0f} vec/s, "
+              f"{threads}T)", flush=True)
     idx.index_id_to_db_id = list(range(n))
     idx.phi = phi
     build_s = time.perf_counter() - t0

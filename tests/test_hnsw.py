@@ -41,6 +41,28 @@ def test_hnsw_top1_on_planted(rng):
     assert 123 in res[0][0][:3]
 
 
+def test_hnsw_parallel_build_deterministic(tmp_path, rng):
+    """The mt build is a pure function of the inputs: any thread count
+    yields the byte-identical graph (native/hnsw.cc::add_batch_mt —
+    frozen-snapshot parallel searches + in-order link application).
+    n crosses the 1024-node serial warmup and several 256-node chunks."""
+    n, d = 2000, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    data = list(zip(range(n), vecs))
+    paths = []
+    for t, threads in enumerate((1, 4)):
+        idx = DenseHNSWFlatIndexer(d, store_n=16, ef_construction=40,
+                                   build_threads=threads)
+        idx.index_data(data)
+        p = str(tmp_path / f"idx{t}")
+        idx.serialize(p)
+        paths.append(p + ".index.hnsw")
+    import os
+    assert os.path.exists(paths[0])
+    with open(paths[0], "rb") as a, open(paths[1], "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_hnsw_one_shot_requirement(rng):
     index = DenseHNSWFlatIndexer(8, store_n=8)
     data = [(i, rng.standard_normal(8).astype(np.float32)) for i in range(10)]
