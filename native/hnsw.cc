@@ -255,8 +255,13 @@ class HNSW {
     // per-node, per-level candidate lists for the current chunk
     std::vector<std::vector<std::vector<Pair>>> cands(kChunk);
     while (i < n) {
-      const int c = (int)std::min<int64_t>(kChunk, n - i);
       const int base = size();
+      // align chunk ends to absolute-id multiples of kChunk: boundaries
+      // (and so the frozen snapshots) are then canonical in id space —
+      // a build split across several add_batch_mt calls at aligned
+      // points is byte-identical to the one-shot build, and an
+      // unaligned split re-aligns at the next chunk
+      const int c = (int)std::min<int64_t>(kChunk - (base % kChunk), n - i);
       const float* v0 = vecs + i * dim_;
       data_.insert(data_.end(), v0, v0 + (size_t)c * dim_);
       std::vector<int> lvls(c);

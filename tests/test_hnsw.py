@@ -63,6 +63,44 @@ def test_hnsw_parallel_build_deterministic(tmp_path, rng):
         assert a.read() == b.read()
 
 
+def test_hnsw_mt_split_add_equals_one_shot(rng):
+    """Splitting a build across several hnsw_add_batch_mt calls at
+    chunk-aligned points (or inside the 1024-node serial warmup) yields
+    the byte-identical graph to one call: chunk ends are aligned to
+    absolute-id multiples of 256, so the frozen snapshots are canonical
+    in id space and level draws come from one rng stream. (An unaligned
+    split shifts at most one partial chunk's snapshot, then re-aligns —
+    perf_hnsw.py's 5000-sized progress chunks are that case.)"""
+    import ctypes
+    lib = hnsw_lib()
+    n, d = 2000, 24
+    vecs = np.ascontiguousarray(rng.standard_normal((n, d)).astype(
+        np.float32))
+
+    def build(splits, threads):
+        h = lib.hnsw_new(d, 16, 40)
+        lo = 0
+        for hi in list(splits) + [n]:
+            chunk = np.ascontiguousarray(vecs[lo:hi])
+            lib.hnsw_add_batch_mt(
+                h, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                hi - lo, threads)
+            lo = hi
+        return h
+
+    import tempfile, os
+    paths = []
+    # 1000 is inside the warmup; 1280 and 1792 are 256-aligned
+    for i, (splits, threads) in enumerate([((), 1), ((1000, 1280, 1792), 4)]):
+        h = build(splits, threads)
+        p = os.path.join(tempfile.mkdtemp(), f"g{i}")
+        assert lib.hnsw_save(h, p.encode()) == 0
+        lib.hnsw_free(h)
+        paths.append(p)
+    with open(paths[0], "rb") as a, open(paths[1], "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_hnsw_one_shot_requirement(rng):
     index = DenseHNSWFlatIndexer(8, store_n=8)
     data = [(i, rng.standard_normal(8).astype(np.float32)) for i in range(10)]
