@@ -287,8 +287,9 @@ def main(cmds=None):
     t0 = time.time()
     losses = []
     recycler = Recycler()  # pool spent host batches (see padding.Recycler)
-    with PreemptionGuard(sim_after_step=getattr(
-            args, "sim_preempt_step", None)) as guard:
+    with PreemptionGuard(
+            sim_after_step=getattr(args, "sim_preempt_step", None),
+            check_every=getattr(args, "preempt_check_steps", 25)) as guard:
         while global_step < args.num_train_steps:
             fn, mb = next_batch(global_step)
             state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))

@@ -179,6 +179,12 @@ def add_logging_params(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--sim_preempt_step", type=int, default=None,
                         help="fault injection: act as if SIGTERM arrived "
                              "at this global step (preemption-path tests)")
+    parser.add_argument("--preempt_check_steps", type=int, default=25,
+                        help="multi-host cadence of the preemption "
+                        "OR-reduce (rounded up to a multiple of the "
+                        "accumulation window); ~1.5 s of steps at ITM "
+                        "fine-tune speed, small vs a 30 s grace window. "
+                        "Single-host runs never pay a collective")
 
 
 def add_kd_params(parser: argparse.ArgumentParser) -> None:

@@ -29,12 +29,18 @@ class PreemptionGuard:
     """
 
     def __init__(self, signals=(signal.SIGTERM,),
-                 sim_after_step: Optional[int] = None):
+                 sim_after_step: Optional[int] = None,
+                 check_every: int = 1):
         self.signals = signals
         self.requested = False
         # fault injection (SURVEY §5: the reference has none): trip the
         # guard once global_step reaches this value, as if signalled
         self.sim_after_step = sim_after_step
+        # multi-host OR-reduce cadence: gather once every `check_every`
+        # steps instead of every call (the reference pays its host gather
+        # once per accumulation window, pretrain.py:392 — a per-step
+        # collective serializes hosts on a host-RTT round trip per step)
+        self.check_every = max(int(check_every), 1)
         self._old = {}
 
     def _handler(self, signum, frame):
@@ -49,8 +55,11 @@ class PreemptionGuard:
         one host can latch before a step boundary while another latches
         after — if each acted on its local flag alone, the late host would
         enter the next step's collectives without the early one and hang.
-        The flag is OR-reduced across hosts (free on a single host), so
-        every host exits at the same boundary.
+        The flag is OR-reduced across hosts, so every host exits at the
+        same boundary; between gather boundaries the local latch is NOT
+        acted on (returning the local flag early on one host would break
+        the same-boundary guarantee the gather exists to provide). On a
+        single host there is no skew risk, so the flag acts immediately.
         """
         if (self.sim_after_step is not None
                 and global_step >= self.sim_after_step):
@@ -58,6 +67,8 @@ class PreemptionGuard:
         import jax
 
         if jax.process_count() > 1:
+            if global_step % self.check_every:
+                return False  # act only at shared gather boundaries
             from lightningdot_tpu.utils.misc import host_all_gather
 
             self.requested = any(host_all_gather(self.requested))
