@@ -30,9 +30,11 @@ def hnsw_lib() -> Optional[ctypes.CDLL]:
     lib.hnsw_new.restype = ctypes.c_void_p
     lib.hnsw_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_add_batch.restype = ctypes.c_int
     lib.hnsw_add_batch.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_float),
                                    ctypes.c_int64]
+    lib.hnsw_add_batch_mt.restype = ctypes.c_int
     lib.hnsw_add_batch_mt.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.c_int64, ctypes.c_int]
@@ -96,9 +98,12 @@ class DenseHNSWFlatIndexer:
         aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
         hnsw_vecs = np.ascontiguousarray(
             np.concatenate([vecs, aux[:, None]], axis=1))
-        self._lib.hnsw_add_batch_mt(
+        rc = self._lib.hnsw_add_batch_mt(
             self._h, hnsw_vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             hnsw_vecs.shape[0], self.build_threads)
+        if rc != 0:  # native add caught an exception (likely bad_alloc)
+            raise MemoryError("native HNSW build failed; the index is "
+                              "partially built and should be discarded")
         self.index_id_to_db_id.extend(t[0] for t in data)
         self.phi = phi
 

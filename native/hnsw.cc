@@ -14,7 +14,9 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
+#include <exception>
 #include <mutex>
 #include <cstdio>
 #include <cstring>
@@ -70,8 +72,8 @@ class HNSW {
   std::vector<std::vector<std::vector<int32_t>>> upper_links_;
   std::vector<std::vector<int32_t>> links0_;
   Scratch scratch_;  // serial-path visited scratch (mt build uses its own)
-  // guards the shared visited_/visit_tag_ scratch (and the graph during
-  // adds): ctypes releases the GIL, so Python threads can call search/add
+  // guards the graph during adds/searches and the serial-path scratch_:
+  // ctypes releases the GIL, so Python threads can call search/add
   // concurrently on one index
   std::mutex mu_;
 
@@ -251,20 +253,74 @@ class HNSW {
       add(vecs + i * dim_);
       ++i;
     }
-    std::vector<Scratch> scratch(std::max(1, n_threads));
+    const int nt = std::max(1, n_threads);
+    std::vector<Scratch> scratch(nt);
     // per-node, per-level candidate lists for the current chunk
     std::vector<std::vector<std::vector<Pair>>> cands(kChunk);
+
+    // one persistent pool for the whole call (ADVICE r3: ~480 per-chunk
+    // pools for a 123k build); workers park on a condition variable
+    // between chunks. Exceptions inside a worker (e.g. bad_alloc) are
+    // captured per thread instead of std::terminate'ing the host Python
+    // process, and rethrown on the calling thread after the pool drains.
+    int base = 0, c = 0;
+    int snap_entry = 0, snap_max = 0;
+    std::vector<int> lvls;
+    std::atomic<int> next(0);
+    std::mutex pm;
+    std::condition_variable cv_start, cv_done;
+    int64_t gen = 0;
+    int remaining = 0;
+    bool stop = false;
+    std::vector<std::exception_ptr> errs(nt);
+
+    auto search_chunk = [&](int t) {
+      Scratch& s = scratch[t];
+      for (;;) {
+        const int j = next.fetch_add(1);
+        if (j >= c) break;
+        const float* q = vec(base + j);
+        int cur = snap_entry;
+        for (int l = snap_max; l > lvls[j]; --l) cur = greedy(q, cur, l);
+        auto& per = cands[j];
+        per.assign(std::min(lvls[j], snap_max) + 1, {});
+        for (int l = std::min(lvls[j], snap_max); l >= 0; --l) {
+          per[l] = search_layer(q, cur, efc_, l, s);
+          cur = per[l].front().id;
+        }
+      }
+    };
+    auto thread_main = [&](int t) {
+      int64_t seen = 0;
+      for (;;) {
+        std::unique_lock<std::mutex> lk(pm);
+        cv_start.wait(lk, [&] { return stop || gen > seen; });
+        if (stop) return;
+        seen = gen;
+        lk.unlock();
+        try {
+          search_chunk(t);
+        } catch (...) {
+          errs[t] = std::current_exception();
+        }
+        lk.lock();
+        if (--remaining == 0) cv_done.notify_one();
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; ++t) pool.emplace_back(thread_main, t);
+
     while (i < n) {
-      const int base = size();
+      base = size();
       // align chunk ends to absolute-id multiples of kChunk: boundaries
       // (and so the frozen snapshots) are then canonical in id space —
       // a build split across several add_batch_mt calls at aligned
       // points is byte-identical to the one-shot build, and an
       // unaligned split re-aligns at the next chunk
-      const int c = (int)std::min<int64_t>(kChunk - (base % kChunk), n - i);
+      c = (int)std::min<int64_t>(kChunk - (base % kChunk), n - i);
       const float* v0 = vecs + i * dim_;
       data_.insert(data_.end(), v0, v0 + (size_t)c * dim_);
-      std::vector<int> lvls(c);
+      lvls.assign(c, 0);
       int top = (int)upper_links_.size();
       for (int j = 0; j < c; ++j) {
         lvls[j] = random_level();
@@ -275,29 +331,27 @@ class HNSW {
       for (int l = (int)upper_links_.size(); l < top; ++l)
         upper_links_.emplace_back();
       for (auto& layer : upper_links_) layer.resize(size());
-      const int snap_entry = entry_;
-      const int snap_max = max_level_;
-      std::atomic<int> next(0);
-      auto worker = [&](int t) {
-        Scratch& s = scratch[t];
-        for (;;) {
-          const int j = next.fetch_add(1);
-          if (j >= c) break;
-          const float* q = vec(base + j);
-          int cur = snap_entry;
-          for (int l = snap_max; l > lvls[j]; --l) cur = greedy(q, cur, l);
-          auto& per = cands[j];
-          per.assign(std::min(lvls[j], snap_max) + 1, {});
-          for (int l = std::min(lvls[j], snap_max); l >= 0; --l) {
-            per[l] = search_layer(q, cur, efc_, l, s);
-            cur = per[l].front().id;
-          }
-        }
-      };
-      std::vector<std::thread> pool;
-      for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker, t);
-      worker(0);
-      for (auto& th : pool) th.join();
+      snap_entry = entry_;
+      snap_max = max_level_;
+      next.store(0);
+      {
+        std::lock_guard<std::mutex> lk(pm);
+        remaining = (int)pool.size();
+        ++gen;  // release the parked workers onto this chunk
+      }
+      cv_start.notify_all();
+      try {
+        search_chunk(0);
+      } catch (...) {
+        errs[0] = std::current_exception();
+      }
+      {
+        std::unique_lock<std::mutex> lk(pm);
+        cv_done.wait(lk, [&] { return remaining == 0; });
+      }
+      bool failed = false;
+      for (auto& e : errs) failed = failed || (e != nullptr);
+      if (failed) break;  // abort the build; rethrown below
       for (int j = 0; j < c; ++j) {
         const int id = base + j;
         for (int l = std::min(lvls[j], snap_max); l >= 0; --l)
@@ -309,6 +363,14 @@ class HNSW {
       }
       i += c;
     }
+    {
+      std::lock_guard<std::mutex> lk(pm);
+      stop = true;
+    }
+    cv_start.notify_all();
+    for (auto& th : pool) th.join();
+    for (auto& e : errs)
+      if (e) std::rethrow_exception(e);  // caught at the C ABI boundary
   }
 
   int search(const float* q, int k, int ef, int32_t* out_ids,
@@ -336,19 +398,33 @@ void* hnsw_new(int dim, int M, int ef_construction) {
 
 void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
 
-void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
+// Adds return 0 on success, -1 on failure (e.g. allocation failure —
+// letting a C++ exception cross the C ABI into ctypes is undefined
+// behavior and in practice terminates the host Python process). On
+// failure the index is left partially built; callers should discard it.
+int hnsw_add_batch(void* h, const float* vecs, int64_t n) {
   HNSW* idx = static_cast<HNSW*>(h);
   std::lock_guard<std::mutex> lock(idx->mu_);
-  for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim_);
+  try {
+    for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim_);
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 // Parallel build; the resulting graph is identical for every n_threads
 // (see add_batch_mt). n_threads<=1 degrades to chunked single-thread.
-void hnsw_add_batch_mt(void* h, const float* vecs, int64_t n,
-                       int n_threads) {
+int hnsw_add_batch_mt(void* h, const float* vecs, int64_t n,
+                      int n_threads) {
   HNSW* idx = static_cast<HNSW*>(h);
   std::lock_guard<std::mutex> lock(idx->mu_);
-  idx->add_batch_mt(vecs, n, std::max(1, n_threads));
+  try {
+    idx->add_batch_mt(vecs, n, std::max(1, n_threads));
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 int64_t hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
