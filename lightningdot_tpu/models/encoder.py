@@ -303,14 +303,19 @@ def _bert_layer(lp: Params, cfg: EncoderConfig, hidden, mask_bias, *,
     # plain reshape form is the default)
     import os as _os
 
-    from lightningdot_tpu.ops.attention_fused import (
-        attention_kernel_enabled, fused_attention_train)
+    # measured-loser kernel parked under ops/experimental: import only when
+    # the env gate is set so the default trace path stays kernel-free
+    attn_kernel = (not deterministic
+                   and _os.environ.get("LDOT_ATTN_KERNEL", "0") != "0")
+    if attn_kernel:
+        from lightningdot_tpu.ops.experimental.attention_fused import (
+            attention_kernel_enabled, fused_attention_train)
 
-    attn_kernel = not deterministic and attention_kernel_enabled(b, nh)
+        attn_kernel = attention_kernel_enabled(b, nh)
     if attn_kernel:
         # fully fused Pallas attention on the RAW [B,S,H] projections:
         # head split, scores, softmax, prob dropout (in-kernel PRNG) and
-        # probs@v never leave VMEM (ops/attention_fused.py)
+        # probs@v never leave VMEM (ops/experimental/attention_fused.py)
         qr = _dense(ap["query"], hidden, dtype)
         kr = _dense(ap["key"], hidden, dtype)
         vr = _dense(ap["value"], hidden, dtype)

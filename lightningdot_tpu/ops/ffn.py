@@ -189,42 +189,6 @@ def _gelu_grad_kernel(h1):
     return (cdf + hf * pdf).astype(h1.dtype)
 
 
-def _dh1_kernel(g_ref, h1_ref, w2_ref, dh1_ref, *, prec):
-    """dh1 = (g @ w2^T) * gelu'(h1) in one pass — the [rows, intermediate]
-    ``dinter`` tensor never reaches HBM (76 MB/step of traffic at the ITM
-    train shape)."""
-    g = g_ref[...]
-    h1 = h1_ref[...]
-    dinter = lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=prec).astype(g.dtype)
-    dh1_ref[...] = (dinter * _gelu_grad_kernel(h1)).astype(dh1_ref.dtype)
-
-
-def _dh1_pallas(g2d, h1, w2, *, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    rows, h = g2d.shape
-    inter_dim = w2.shape[0]
-    block = min(int(os.environ.get("LDOT_FFN_BLOCK", _DEFAULT_BLOCK)), rows)
-    grid = (pl.cdiv(rows, block),)
-    return pl.pallas_call(
-        functools.partial(_dh1_kernel, prec=_precision(g2d.dtype)),
-        grid=grid,
-        in_specs=[pl.BlockSpec((block, h), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((block, inter_dim), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((block, inter_dim), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, inter_dim), g2d.dtype),
-        interpret=interpret,
-    )(g2d, h1, w2)
-
-
 def _ffn_bwd(res, g):
     x2d, w1, w2, h1, inter = res
     prec = _precision(x2d.dtype)
@@ -234,11 +198,11 @@ def _ffn_bwd(res, g):
     dw2 = _dot(inter.T, g, prec)
     db2 = jnp.sum(g.astype(jnp.float32), axis=0)
     if _use_pallas(x2d) and os.environ.get("LDOT_FFN_DH1", "0") == "1":
-        # fused (g @ w2^T) * gelu'(h1): dinter stays in VMEM. Measured
-        # NET-NEGATIVE at the ITM train shape (64.7 vs 62.1 ms/step) —
-        # Mosaic's NT matmul loses more than the saved dinter round-trip;
-        # kept as an option for bandwidth-starved configurations
-        dh1 = _dh1_pallas(g, h1, w2)
+        # measured-loser kernel, parked under ops/experimental (import only
+        # when the gate is set — the default path stays kernel-free)
+        from lightningdot_tpu.ops.experimental.ffn_dh1 import dh1_pallas
+
+        dh1 = dh1_pallas(g, h1, w2)
     else:
         dinter = _dot(g, w2.T, prec).astype(x2d.dtype)
         dh1 = dinter * _gelu_grad(h1)

@@ -19,8 +19,9 @@ regresses ~0.3 ms). Post-mortem: XLA's fc1 fusion already emits the
 *requantized int8* intermediate, so only ~6 MB crosses HBM at the serving
 shape — there was no round-trip to save; the epilogue is VPU compute that
 costs the same inside VMEM, and the 12 opaque custom-calls cost schedule
-overlap (same lesson as the Pallas AdamW sweep). Enable with
-LDOT_INT8_FFN=1 to re-measure on future Mosaic/XLA releases.
+overlap (same lesson as the Pallas AdamW sweep). The kernel is parked in
+ops/experimental/ffn_int8_pallas.py; enable with LDOT_INT8_FFN=1 to
+re-measure on future Mosaic/XLA releases.
 
 Kernel numerics match the unfused serving composition op-for-op (same
 1e-8 scale floor, round-to-nearest-even, int32 accumulation) except
@@ -71,44 +72,6 @@ def _ffn_int8_math(x2d, w1, s1, b1, w2, s2, b2, *, erf="exact"):
     return out
 
 
-def _ffn_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                     out_ref):
-    out_ref[...] = _ffn_int8_math(
-        x_ref[...], w1_ref[...], s1_ref[...], b1_ref[...],
-        w2_ref[...], s2_ref[...], b2_ref[...], erf="poly")
-
-
-def _ffn_int8_pallas(x2d, w1, s1, b1, w2, s2, b2, *, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    rows, h = x2d.shape
-    inter_dim = w1.shape[1]
-    block = min(int(os.environ.get("LDOT_INT8_FFN_BLOCK", _DEFAULT_BLOCK)),
-                rows)
-    grid = (pl.cdiv(rows, block),)
-
-    row_spec = pl.BlockSpec((block, h), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    # constant index maps: weights/scales DMA once, stay VMEM-resident
-    w_spec = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),  # noqa: E731
-                                       memory_space=pltpu.VMEM)
-    vec_spec = lambda n: pl.BlockSpec((n,), lambda i: (0,),  # noqa: E731
-                                      memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        _ffn_int8_kernel,
-        grid=grid,
-        in_specs=[row_spec,
-                  w_spec(h, inter_dim), vec_spec(inter_dim),
-                  vec_spec(inter_dim),
-                  w_spec(inter_dim, h), vec_spec(h), vec_spec(h)],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, h), x2d.dtype),
-        interpret=interpret,
-    )(x2d, w1, s1, b1, w2, s2, b2)
-
-
 def _use_pallas() -> bool:
     mode = os.environ.get("LDOT_INT8_FFN", "auto")
     if mode == "0":
@@ -132,7 +95,12 @@ def ffn_gelu_int8(intermediate: dict, output: dict, x) -> jnp.ndarray:
             output["q"], output["scale"].astype(jnp.float32),
             output["bias"].astype(jnp.float32))
     if _use_pallas():
-        out = _ffn_int8_pallas(*args)
+        # measured-loser kernel, parked under ops/experimental (import only
+        # when the gate is set — the default path stays kernel-free)
+        from lightningdot_tpu.ops.experimental.ffn_int8_pallas import (
+            ffn_int8_pallas)
+
+        out = ffn_int8_pallas(*args)
     else:
         out = _ffn_int8_math(*args)
     return out.reshape(shape)

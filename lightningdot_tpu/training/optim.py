@@ -147,16 +147,19 @@ class FusedAdamW(NamedTuple):
         c2 = 1.0 - self.b2 ** count.astype(jnp.float32)
 
         # LDOT_ADAMW_KERNEL=1 on TPU: stream eligible leaves through the
-        # Pallas fused kernel (ops/adamw_pallas.py) — same math, one
-        # bandwidth-optimal pass; ineligible leaves fall through to jnp
+        # Pallas fused kernel (a measured loser parked in
+        # ops/experimental/adamw_pallas.py — same math, one pass, but the
+        # opaque custom-calls defeat XLA's optimizer/backward overlap);
+        # ineligible leaves fall through to jnp. Imported only when gated.
         import os as _os
 
-        from lightningdot_tpu.ops.adamw_pallas import (adamw_leaf_pallas,
-                                                       leaf_eligible)
         from lightningdot_tpu.ops.backend import backend as _backend
 
         use_kernel = (_os.environ.get("LDOT_ADAMW_KERNEL", "0") == "1"
                       and _backend() == "pallas")
+        if use_kernel:
+            from lightningdot_tpu.ops.experimental.adamw_pallas import (
+                adamw_leaf_pallas, leaf_eligible)
         scalars = jnp.stack([
             scale, jnp.asarray(lr, jnp.float32), c1, c2]).astype(jnp.float32)
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lightningdot_tpu.ops.attention_fused import (_bwd_kernel, _call,
+from lightningdot_tpu.ops.experimental.attention_fused import (_bwd_kernel, _call,
                                                   _fwd_kernel,
                                                   fused_attention_train)
 from lightningdot_tpu.utils.runtime import setup_runtime

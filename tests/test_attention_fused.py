@@ -1,4 +1,4 @@
-"""Fused Pallas attention training kernel (ops/attention_fused.py).
+"""Fused Pallas attention training kernel (ops/experimental/attention_fused.py).
 
 Interpret-mode tests on CPU: rate=0 must match the XLA attention math
 exactly (same f32 softmax, same contractions); with dropout the kernel's
@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from lightningdot_tpu.ops.attention import _attention_math
-from lightningdot_tpu.ops.attention_fused import (_attn_bwd, _attn_fwd,
+from lightningdot_tpu.ops.experimental.attention_fused import (_attn_bwd, _attn_fwd,
                                                   _call, _bwd_kernel,
                                                   _fwd_kernel,
                                                   fused_attention_train,

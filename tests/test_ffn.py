@@ -98,14 +98,14 @@ def test_dh1_pallas_kernel_interpret(monkeypatch):
     """Fused (g @ w2^T) * gelu'(h1) kernel matches the jnp backward math
     (A&S erf polynomial tolerance)."""
     monkeypatch.setenv("LDOT_FFN_BLOCK", "64")
-    from lightningdot_tpu.ops.ffn import (_dh1_pallas, _dot, _gelu_grad,
-                                          _precision)
+    from lightningdot_tpu.ops.experimental.ffn_dh1 import dh1_pallas
+    from lightningdot_tpu.ops.ffn import _dot, _gelu_grad, _precision
     ks = jax.random.split(jax.random.PRNGKey(7), 3)
     rows, h, inter = 130, 64, 256  # ragged last block
     g = jax.random.normal(ks[0], (rows, h), jnp.float32)
     h1 = jax.random.normal(ks[1], (rows, inter), jnp.float32)
     w2 = 0.05 * jax.random.normal(ks[2], (inter, h), jnp.float32)
-    got = _dh1_pallas(g, h1, w2, interpret=True)
+    got = dh1_pallas(g, h1, w2, interpret=True)
     prec = _precision(jnp.float32)
     want = (_dot(g, w2.T, prec).astype(jnp.float32)) * _gelu_grad(h1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -136,12 +136,14 @@ def test_ffn_int8_pallas_kernel_interpret(rows, monkeypatch):
     (reciprocal-multiply strength reduction), which can flip borderline
     int8 levels by +-1 — bound the effect instead."""
     monkeypatch.setenv("LDOT_INT8_FFN_BLOCK", "64")
-    from lightningdot_tpu.ops.ffn_int8 import _ffn_int8_math, _ffn_int8_pallas
+    from lightningdot_tpu.ops.experimental.ffn_int8_pallas import (
+        ffn_int8_pallas)
+    from lightningdot_tpu.ops.ffn_int8 import _ffn_int8_math
     qi, qo = _int8_params()
     x2d = jax.random.normal(jax.random.PRNGKey(6), (rows, 64), jnp.bfloat16)
     args = (x2d, qi["q"], qi["scale"], qi["bias"],
             qo["q"], qo["scale"], qo["bias"])
-    got = np.asarray(_ffn_int8_pallas(*args, interpret=True), np.float32)
+    got = np.asarray(ffn_int8_pallas(*args, interpret=True), np.float32)
     want = np.asarray(_ffn_int8_math(*args, erf="poly"), np.float32)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 0.01 * scale

@@ -143,7 +143,7 @@ def test_pallas_adamw_matches_jnp():
     import jax.numpy as jnp
     import numpy as np
 
-    from lightningdot_tpu.ops.adamw_pallas import adamw_leaf_pallas
+    from lightningdot_tpu.ops.experimental.adamw_pallas import adamw_leaf_pallas
 
     rng = np.random.default_rng(3)
     shape = (24, 128)  # multiple of 128 elements
