@@ -15,16 +15,90 @@ and eval_itm.py:97-107):
     (uniter_model/model/model.py:165-177).
 
 Linear weights are transposed torch [out,in] -> jax [in,out].
+
+No-silently-dropped-keys property (VERDICT r3 item 5): every mapper
+accounts for every source key — consumed, or matched by an explicit skip
+list (logged), or the load RAISES. The reference drops unexpected keys
+with a log line (uniter_model/model/model.py:178-195 ``load`` /
+HF ``from_pretrained``); on artifact day a silently-ignored tensor is a
+recall-parity bug, so strictness is the default (``strict=False`` opts
+back into reference behavior).
 """
 from __future__ import annotations
 
 import logging
 import pickle
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Iterable, Mapping
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Keys the reference architectures TIE to other tensors — they appear in
+# torch state dicts as duplicate references and are never loaded separately:
+# the MLM decoder shares the word-embedding table
+# (uniter_model/model/layer.py:212-215) and RegionFeatureRegression shares
+# img_linear's weight (uniter_model/model/model.py:390-397).
+_TIED_DUPLICATE_KEYS = frozenset({
+    "cls.predictions.decoder.weight",
+    "feat_regress.weight",
+})
+# Registered buffers HF BertModel serializes but no implementation loads.
+_BUFFER_SUFFIXES = (".position_ids", ".token_type_ids")
+# Head families that legitimately ride along when a *tower* is loaded from
+# a bigger checkpoint: BERT's MLM/NSP heads (HF from_pretrained drops them
+# the same way) and UNITER's pre-training / retrieval heads
+# (uniter_model/model/model.py:419-432, itm.py:17-19).
+_HEAD_FAMILY_PREFIXES = (
+    "cls.", "feat_regress.", "region_classifier.", "itm_output.",
+    "rank_output.",
+    # mrm-nce heads (dvl/models/bi_encoder.py:310-313) — present in DVL
+    # pre-train checkpoints (LightningDot.pt layout); the task itself is the
+    # reference's dead branch (mirrored as a NotImplementedError here)
+    "nce_output.", "nce_norm.",
+)
+
+
+class _Tracked(dict):
+    """Dict that records which keys were read (``in`` checks don't count)."""
+
+    def __init__(self, d: Mapping[str, Any]):
+        super().__init__(d)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def _account_keys(sd: "_Tracked", *, context: str, strict: bool,
+                  skip_prefixes: Iterable[str] = (),
+                  skip_exact: Iterable[str] = frozenset()) -> None:
+    """Enforce the no-silently-dropped-keys property for one mapper."""
+    skip_prefixes = tuple(skip_prefixes)
+    skip_exact = frozenset(skip_exact)
+    skipped, leftovers = [], []
+    for k in sd:
+        if k in sd.consumed:
+            continue
+        if (k in skip_exact or k.endswith(_BUFFER_SUFFIXES)
+                or (skip_prefixes and k.startswith(skip_prefixes))):
+            skipped.append(k)
+        else:
+            leftovers.append(k)
+    if skipped:
+        logger.info("%s: explicitly skipping %d non-model keys: %s", context,
+                    len(skipped), sorted(skipped))
+    if leftovers and strict:
+        raise ValueError(
+            f"{context}: {len(leftovers)} checkpoint keys were neither "
+            f"mapped nor on the explicit skip list: {sorted(leftovers)[:12]}"
+            f"{'...' if len(leftovers) > 12 else ''} — refusing to drop "
+            f"tensors silently (pass strict=False for reference-style "
+            f"drop-with-a-log behavior)")
+    if leftovers:
+        logger.warning("%s: dropping %d unmapped keys (strict=False): %s",
+                       context, len(leftovers), sorted(leftovers)[:12])
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -74,17 +148,21 @@ def _ln(sd, prefix):
 
 
 def map_tower(sd: Mapping[str, np.ndarray], *, with_img: bool,
-              num_layers: int = 12) -> Dict[str, Any]:
+              num_layers: int = 12, strict: bool = True) -> Dict[str, Any]:
     """Map one tower's torch keys ('bert.*' + optional 'encode_proj.*').
 
     Accepts the tower state dict of BertEncoder / UniterEncoder
     (dvl/models/bi_encoder.py:76-196): the transformer under ``bert.`` and the
-    optional projection Sequential under ``encode_proj.{0,2,3}``.
+    optional projection Sequential under ``encode_proj.{0,2,3}``. Head
+    families riding along in bigger dumps (``cls.*`` etc.) are explicitly
+    skipped with a log line; any OTHER unconsumed key raises under
+    ``strict`` (module docstring).
     """
     sd = normalize_keys(sd)
     # Tolerate a missing 'bert.' prefix (raw BertModel/UniterModel dumps).
     if not any(k.startswith("bert.") for k in sd):
         sd = {f"bert.{k}": v for k, v in sd.items()}
+    sd = _Tracked(sd)
 
     emb = "bert.embeddings"
     tower: Dict[str, Any] = {
@@ -136,6 +214,14 @@ def map_tower(sd: Mapping[str, np.ndarray], *, with_img: bool,
             "ln": _ln(sd, "encode_proj.2"),
             "fc2": _lin(sd, "encode_proj.3"),
         }
+    # heads may appear bare (dump already had 'bert.' keys) or prefixed
+    # (the tolerant prefix-add above touched every key)
+    head_skips = (_HEAD_FAMILY_PREFIXES
+                  + tuple(f"bert.{p}" for p in _HEAD_FAMILY_PREFIXES))
+    _account_keys(sd, context=f"map_tower(with_img={with_img})",
+                  strict=strict, skip_prefixes=head_skips,
+                  skip_exact=_TIED_DUPLICATE_KEYS
+                  | {f"bert.{k}" for k in _TIED_DUPLICATE_KEYS})
     return tower
 
 
@@ -150,8 +236,8 @@ def split_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndar
     return {k[len(pl):]: v for k, v in sd.items() if k.startswith(pl)}
 
 
-def map_bi_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
-                   ) -> Dict[str, Any]:
+def map_bi_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12,
+                   strict: bool = True) -> Dict[str, Any]:
     """Map a full BiEncoder state dict -> {'txt_model','img_model'} tree.
 
     Handles both fine-tune ('txt_model.*'/'img_model.*') and pre-train
@@ -159,25 +245,38 @@ def map_bi_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
     """
     sd = normalize_keys(sd)
     if not any(k.startswith(("txt_model.", "img_model.")) for k in sd):
-        # pre-train checkpoint: keys under 'bert.' (strip, drop heads)
+        # pre-train checkpoint: towers under 'bert.'; everything else is a
+        # pre-training head (BiEncoderForPretraining, bi_encoder.py:293-330)
+        # — an explicit, logged skip. Unknown families still raise below.
+        rest = _Tracked({k: v for k, v in sd.items()
+                         if not k.startswith("bert.")})
+        _account_keys(rest, context="map_bi_encoder(pretrain layout)",
+                      strict=strict, skip_prefixes=_HEAD_FAMILY_PREFIXES,
+                      skip_exact=_TIED_DUPLICATE_KEYS)
         sd = {k[len("bert."):]: v for k, v in sd.items()
               if k.startswith("bert.")}
+    else:
+        rest = _Tracked({k: v for k, v in sd.items()
+                         if not k.startswith(("txt_model.", "img_model."))})
+        _account_keys(rest, context="map_bi_encoder(fine-tune layout)",
+                      strict=strict)
     return {
         "txt_model": map_tower(split_prefix(sd, "txt_model"), with_img=False,
-                               num_layers=num_layers),
+                               num_layers=num_layers, strict=strict),
         "img_model": map_tower(split_prefix(sd, "img_model"), with_img=True,
-                               num_layers=num_layers),
+                               num_layers=num_layers, strict=strict),
     }
 
 
-def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
-                       ) -> Dict[str, Any]:
+def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12,
+                       strict: bool = True) -> Dict[str, Any]:
     """Map a BiEncoderForPretraining state dict -> {'bert', 'heads'}.
 
     Head-only state dicts (no 'bert.' keys) yield {'bert': None, 'heads'}.
     """
     sd = normalize_keys(sd)
     bert = {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
+    sd = _Tracked(sd)
     heads: Dict[str, Any] = {}
     if "cls.predictions.transform.dense.weight" in sd:
         heads["mlm"] = {
@@ -201,60 +300,68 @@ def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
         }
     if "itm_output.weight" in sd:
         heads["itm_output"] = _lin(sd, "itm_output")
-    return {"bert": (map_bi_encoder(bert, num_layers=num_layers)
+    # the towers are accounted inside map_bi_encoder; heads here. NSP is a
+    # BERT-only head no UNITER/DVL architecture consumes
+    # (cls.seq_relationship, present in stock BertForPreTraining dumps).
+    _account_keys(sd, context="map_pretrain_model(heads)", strict=strict,
+                  skip_prefixes=("bert.", "cls.seq_relationship."),
+                  skip_exact=_TIED_DUPLICATE_KEYS)
+    return {"bert": (map_bi_encoder(bert, num_layers=num_layers,
+                                    strict=strict)
                      if bert else None),
             "heads": heads}
 
 
-def map_cross_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12
-                      ) -> Dict[str, Any]:
-    """Map UniterForImageTextRetrieval (uniter_model/model/itm.py:12-27)."""
-    sd = normalize_keys(sd)
-    tree = {"uniter": map_tower(sd, with_img=True, num_layers=num_layers)}
+def _rank_head(tree: Dict[str, Any], sd) -> None:
+    """rank_output, seeded from the itm head when absent (itm.py:23-26)."""
     if "itm_output.weight" in sd:
         tree["itm_output"] = _lin(sd, "itm_output")
     if "rank_output.weight" in sd:
         tree["rank_output"] = _lin(sd, "rank_output")
     elif "itm_output.weight" in sd:
-        # init_output(): rank head seeded from itm head row 1 (itm.py:23-26)
         tree["rank_output"] = {
             "kernel": tree["itm_output"]["kernel"][:, 1:2],
             "bias": tree["itm_output"]["bias"][1:2],
         }
+
+
+def map_cross_encoder(sd: Mapping[str, np.ndarray], *, num_layers: int = 12,
+                      strict: bool = True) -> Dict[str, Any]:
+    """Map UniterForImageTextRetrieval (uniter_model/model/itm.py:12-27)."""
+    sd = normalize_keys(sd)
+    # map_tower accounts for everything except the retrieval heads (its
+    # skip list); the heads are consumed right here, so strictness holds
+    tree = {"uniter": map_tower(sd, with_img=True, num_layers=num_layers,
+                                strict=strict)}
+    _rank_head(tree, sd)
     return tree
 
 
 def map_cross_encoder_fast(sd: Mapping[str, np.ndarray], *,
-                           num_layers: int = 12, num_layers_img: int = 1
-                           ) -> Dict[str, Any]:
+                           num_layers: int = 12, num_layers_img: int = 1,
+                           strict: bool = True) -> Dict[str, Any]:
     """Map UniterForImageTextRetrievalFast (uniter_model/model/itm.py:140-163):
     full-depth ``bert`` text stream + ``img_bert`` image stream + heads."""
     sd = normalize_keys(sd)
     img_sd = {f"bert.{k}": v
               for k, v in split_prefix(sd, "img_bert").items()}
+    main_sd = {k: v for k, v in sd.items() if not k.startswith("img_bert.")}
     tree = {
-        "bert": map_tower(sd, with_img=True, num_layers=num_layers),
+        "bert": map_tower(main_sd, with_img=True, num_layers=num_layers,
+                          strict=strict),
         "img_bert": map_tower(img_sd, with_img=True,
-                              num_layers=num_layers_img),
+                              num_layers=num_layers_img, strict=strict),
     }
-    if "itm_output.weight" in sd:
-        tree["itm_output"] = _lin(sd, "itm_output")
-    if "rank_output.weight" in sd:
-        tree["rank_output"] = _lin(sd, "rank_output")
-    elif "itm_output.weight" in sd:
-        tree["rank_output"] = {
-            "kernel": tree["itm_output"]["kernel"][:, 1:2],
-            "bias": tree["itm_output"]["bias"][1:2],
-        }
+    _rank_head(tree, sd)
     return tree
 
 
-def load_biencoder_checkpoint(path: str, *, num_layers: int = 12
-                              ) -> Dict[str, Any]:
+def load_biencoder_checkpoint(path: str, *, num_layers: int = 12,
+                              strict: bool = True) -> Dict[str, Any]:
     """File -> BiEncoder params tree (any supported layout)."""
     sd = load_torch_state_dict(path)
     logger.info("loaded %d tensors from %s", len(sd), path)
-    return map_bi_encoder(sd, num_layers=num_layers)
+    return map_bi_encoder(sd, num_layers=num_layers, strict=strict)
 
 
 # ---------------------------------------------------------------------------
