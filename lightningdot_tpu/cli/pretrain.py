@@ -66,8 +66,16 @@ def build_parser():
     return p
 
 
-def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train):
-    """pretrain.py:79-221 build_*_dataset equivalents."""
+def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train,
+                fixed_rows: int = 0):
+    """pretrain.py:79-221 build_*_dataset equivalents.
+
+    ``fixed_rows`` > 0 (multi-host training) replaces the token-budget
+    sampler with fixed example-count batches: the jitted step is one SPMD
+    program spanning hosts, so every host must enter it with the same
+    global shapes every step — variable-size token-bucket batches would
+    desynchronize the compiled programs across hosts.
+    """
     datasets = []
     for txt_db, img_db in zip(txt_dbs, img_dbs):
         if task.startswith("mlm"):
@@ -100,12 +108,30 @@ def _build_task(task: str, txt_dbs, img_dbs, args, collate_cfg, is_train):
                 d.new_epoch()
             if hasattr(d, "advance_epoch"):
                 d.advance_epoch()
-        sampler._lens = [l for d in datasets for l in d.lens]
+        if hasattr(sampler, "set_epoch"):
+            sampler.set_epoch(sampler.epoch + 1)
+        else:
+            sampler._lens = [l for d in datasets for l in d.lens]
 
-    sampler = TokenBucketSampler(
-        [l for d in datasets for l in d.lens], bucket_size=BUCKET_SIZE,
-        batch_size=args.train_batch_size if is_train else args.val_batch_size,
-        droplast=is_train, seed=args.seed)
+    if fixed_rows and is_train:
+        from lightningdot_tpu.data.loader import DistributedSampler
+
+        if len(dataset) < fixed_rows:
+            raise ValueError(
+                f"task {task}: {len(dataset)} examples on this host < "
+                f"fixed batch rows {fixed_rows} — lower train_batch_size "
+                "or use fewer hosts")
+        # rank sharding already happened at the DB level (ids[rank::world]);
+        # here the sampler only fixes the per-step example count
+        sampler = DistributedSampler(len(dataset), num_replicas=1, rank=0,
+                                     batch_size=fixed_rows, shuffle=True,
+                                     drop_last=True, seed=args.seed or 0)
+    else:
+        sampler = TokenBucketSampler(
+            [l for d in datasets for l in d.lens], bucket_size=BUCKET_SIZE,
+            batch_size=(args.train_batch_size if is_train
+                        else args.val_batch_size),
+            droplast=is_train, seed=args.seed)
     # per-item mask rngs (seed, epoch, index) make the mask datasets safe
     # under the order-preserving multi-worker collate pipeline
     return DataLoader(dataset, sampler=sampler, collate_fn=collate,
@@ -118,6 +144,24 @@ def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,
                        collate_cfg):
     """pretrain.py:165-221."""
     loaders = {}
+    from lightningdot_tpu.parallel.mesh import process_count, process_index
+    fixed_rows = 0
+    if is_train and process_count() > 1:
+        # multi-host SPMD: host-agreed static shapes (see _build_task) —
+        # one top bucket per axis and a fixed example count derived from
+        # the token budget at worst-case sequence length
+        import dataclasses as _dc
+
+        from lightningdot_tpu.data.padding import bucket_len
+        txt_top = bucket_len(args.max_txt_len + 2, collate_cfg.txt_buckets)
+        img_top = bucket_len(args.max_bb + 1, collate_cfg.img_buckets)
+        per_ex = txt_top + img_top
+        fixed_rows = max(8, args.train_batch_size // per_ex // 8 * 8)
+        # batch_pad=8 divides fixed_rows: exactly-full batches stay unpadded
+        collate_cfg = _dc.replace(collate_cfg, txt_buckets=(txt_top,),
+                                  img_buckets=(img_top,), batch_pad=8)
+        LOGGER.info("multi-host static shapes: txt=%d img=%d rows=%d/host",
+                    txt_top, img_top, fixed_rows)
     for dset in dataset_specs:
         img_dbs = [all_img_dbs[p] for p in dset["img"]]
         for i, t in enumerate(dset["tasks"]):
@@ -125,8 +169,6 @@ def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,
             max_len = args.max_txt_len if is_train else -1
             # train DBs shard rank-strided across hosts (data.py:185-187);
             # validation stays complete per host
-            from lightningdot_tpu.parallel.mesh import (process_count,
-                                                        process_index)
             rank = process_index() if is_train else 0
             world = process_count() if is_train else 1
             txt_dbs = [TxtTokDb(p, max_len, rank=rank, world_size=world)
@@ -134,7 +176,7 @@ def create_dataloaders(dataset_specs, is_train, args, all_img_dbs,
             LOGGER.info("Loading %s %s dataset %s", task,
                         "train" if is_train else "val", dset["db"])
             loader = _build_task(t, txt_dbs, img_dbs, args, collate_cfg,
-                                 is_train)
+                                 is_train, fixed_rows=fixed_rows)
             if is_train:
                 loaders[task] = (loader, dset["mix_ratio"][i])
             else:
@@ -172,11 +214,11 @@ def main(cmds=None):
         assert args.num_bb + args.max_txt_len + 2 <= 512
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
-    TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
 
     setup_runtime(args)
     from lightningdot_tpu.parallel.mesh import is_main_process
-    if is_main_process():  # rank-0 only (save.py:15-18 semantics)
+    if is_main_process():  # rank-0 only (save.py:15-18 + NoOp semantics)
+        TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
         from lightningdot_tpu.training.checkpoints import save_training_meta
         save_training_meta(args.output_dir, args)
     import jax.numpy as jnp
@@ -260,8 +302,40 @@ def main(cmds=None):
         kd_T=getattr(args, "T", 1.0))
     state = init_state(params)
 
+    # dp mesh: params replicated, batches sharded on the leading axis; XLA
+    # inserts the gradient psum (replaces the manual flat-buffer allreduce,
+    # pretrain.py:449-451). Multi-host: each host feeds its local shard and
+    # shard_batch assembles the global batch.
+    from lightningdot_tpu.parallel.mesh import data_parallel_mesh
+    mesh = data_parallel_mesh() if jax.device_count() > 1 else None
+
     # auto-resume (pretrain.py:320-328,906-917)
     resume = latest_step_checkpoint(os.path.join(args.output_dir, "ckpt"))
+    from lightningdot_tpu.parallel.mesh import process_count
+    if process_count() > 1:
+        # checkpoints are written by rank 0 only, so rank 0's discovery is
+        # authoritative: per-host discovery can disagree (a shared-FS write
+        # still propagating, or hosts restarting at different times) and a
+        # host resuming from a different step would silently diverge
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        step0 = int(multihost_utils.broadcast_one_to_all(
+            _np.int32(resume[1] if resume else -1)))
+        if step0 < 0:
+            resume = None
+        else:
+            path0 = os.path.join(args.output_dir, "ckpt",
+                                 f"model_step_{step0}")
+            deadline = time.time() + 120
+            while not (os.path.exists(path0 + ".json")
+                       and os.path.exists(path0 + ".npz")):
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"rank 0 resumes from {path0} but this host cannot "
+                        "see it (shared output_dir required)")
+                time.sleep(0.2)
+            resume = (path0, step0)
     global_step = 0
     if resume is not None:
         path, step = resume
@@ -275,6 +349,9 @@ def main(cmds=None):
                             jnp.asarray(step * args.gradient_accumulation_steps,
                                         jnp.int32))
         global_step = step
+    if mesh is not None:
+        from lightningdot_tpu.parallel.mesh import replicate
+        state = replicate(mesh, state)
 
     # data
     all_img_dbs = ImageDbGroup(args.conf_th, args.max_bb, args.min_bb,
@@ -295,9 +372,16 @@ def main(cmds=None):
         # learning rates (data iterators restart, like the reference)
         meta_loader.fast_forward(
             global_step * args.gradient_accumulation_steps)
-    validate_fn = make_validate_fn(model)
-    saver = ModelSaver(os.path.join(args.output_dir, "ckpt"),
-                       async_save=bool(getattr(args, "async_checkpoint", 0)))
+    validate_fn = make_validate_fn(model, mesh=mesh)
+    # rank-0-only saver (reference NoOp for non-zero ranks, pretrain.py:285-293
+    # + save.py:15-18); other hosts resume from the shared output_dir
+    if is_main_process():
+        saver = ModelSaver(os.path.join(args.output_dir, "ckpt"),
+                           async_save=bool(getattr(args, "async_checkpoint",
+                                                   0)))
+    else:
+        from lightningdot_tpu.training.checkpoints import NoOpSaver
+        saver = NoOpSaver()
 
     task2loss: Dict[str, RunningMeter] = {
         t: RunningMeter(f"loss/{t}") for t in train_loaders}
@@ -306,6 +390,11 @@ def main(cmds=None):
     n_examples = defaultdict(int)
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
+    if mesh is not None:
+        # multi-process jit needs every input global; the key is identical
+        # on all hosts (same seed), so replication is exact
+        from lightningdot_tpu.parallel.mesh import replicate as _replicate
+        rng = _replicate(mesh, rng)
     start = time.time()
 
     LOGGER.info("start pre-training: %d steps, tasks=%s",
@@ -323,7 +412,7 @@ def main(cmds=None):
         results, state, last_validated, global_step, preempted = _train_loop(
             args, meta_loader, step_for_task, state, rng, guard, recycler,
             task2loss, pending_loss, log_every, n_examples, start, lr_fn,
-            model, val_loaders, validate_fn, saver, global_step)
+            model, val_loaders, validate_fn, saver, global_step, mesh=mesh)
 
     if last_validated != global_step:  # avoid a duplicate final sweep
         saver.save(state.params, global_step, optimizer=state.opt_state)
@@ -340,7 +429,7 @@ def main(cmds=None):
 def _train_loop(args, meta_loader, step_for_task, state, rng, guard,
                 recycler, task2loss, pending_loss, log_every, n_examples,
                 start, lr_fn, model, val_loaders, validate_fn, saver,
-                global_step):
+                global_step, mesh=None):
     """The hot loop (factored so the PreemptionGuard wraps it in a with)."""
     from lightningdot_tpu.parallel.mesh import assert_same_across_hosts
 
@@ -359,6 +448,9 @@ def _train_loop(args, meta_loader, step_for_task, state, rng, guard,
         n_examples[name] += batch["n_valid"]
         model_batch = {k: v for k, v in batch.items()
                        if k not in ("n_valid", "sample_size")}
+        if mesh is not None:
+            from lightningdot_tpu.parallel.mesh import shard_batch
+            model_batch = shard_batch(mesh, model_batch)
         state, metrics = step_for_task(task)(
             state, model_batch, jax.random.fold_in(rng, micro_step))
         recycler.push(batch, ready=metrics["loss"])

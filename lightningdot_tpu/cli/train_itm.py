@@ -191,6 +191,10 @@ def main(cmds=None):
     from lightningdot_tpu.utils.preemption import PreemptionGuard
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
+    if mesh is not None:
+        # multi-process jit needs global inputs; same seed on every host
+        # makes replication exact
+        rng = replicate(mesh, rng)
     best_eval_metric = 0.0
     loss_meter = RunningMeter("loss")
     global_step = 0

@@ -71,16 +71,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_mesh_device_count(mesh: Mesh) -> int:
+    """Number of this process's devices participating in ``mesh``."""
+    me = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == me)
+
+
 def shard_batch(mesh: Mesh, batch):
     """device_put a host batch with leading-axis dp sharding.
 
-    Arrays whose leading dim is not divisible by the mesh size are
-    replicated instead (e.g. scalar aux fields).
+    Single-process: the batch IS the global batch; arrays whose leading dim
+    is not divisible by the mesh size are replicated instead (scalar aux
+    fields).
+
+    Multi-process: each host passes its LOCAL batch (its rank-strided data
+    shard, data.py:185-187 semantics) and the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — global batch =
+    concatenation of the per-host batches in process order. This realises
+    the reference's dead cross-rank gather (dvl/utils.py:114-169): the
+    jitted step sees the global batch, so in-batch negatives span hosts and
+    XLA inserts the gradient psum. Arrays whose leading dim is not
+    divisible by the local device count are replicated (they must then be
+    identical on every host).
     """
     n = mesh.devices.size
+    n_local = local_mesh_device_count(mesh)
+    multiproc = n_local != n
 
     def put(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+        if not (hasattr(x, "shape") and x.ndim >= 1):
+            if multiproc:
+                x = np.asarray(x)  # host value: puttable non-addressably
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if multiproc:
+            if n_local and x.shape[0] % n_local == 0:
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P(DP_AXIS)), np.asarray(x))
+            return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+        if x.shape[0] % n == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DP_AXIS)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
@@ -114,6 +142,28 @@ def assert_same_across_hosts(value, what: str = "value") -> None:
 
 
 def replicate(mesh: Mesh, tree):
-    """device_put a pytree fully replicated over the mesh."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    """device_put a pytree fully replicated over the mesh.
+
+    Multi-process: ``device_put`` to a non-addressable sharding accepts
+    host values and uncommitted arrays only, so committed local arrays
+    (jit outputs, loaded checkpoints) are pulled to host first — every
+    host holds the same value by construction (same seed / same file).
+    Typed PRNG keys go through key_data/wrap_key_data (they have no host
+    representation of their own).
+    """
+    sh = NamedSharding(mesh, P())
+    multiproc = local_mesh_device_count(mesh) != mesh.devices.size
+
+    def put(x):
+        if multiproc and isinstance(x, jax.Array):
+            if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+                data = jax.device_put(
+                    np.asarray(jax.random.key_data(x)), sh)
+                return jax.random.wrap_key_data(
+                    data, impl=jax.random.key_impl(x))
+            x = np.asarray(x)
+        elif multiproc and not isinstance(x, np.ndarray):
+            x = np.asarray(x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree)

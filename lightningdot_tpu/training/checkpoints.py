@@ -204,6 +204,18 @@ class ModelSaver:
             pending.result()
 
 
+class NoOpSaver:
+    """Non-zero-rank saver (reference ``NoOp``, uniter misc.py:14-19):
+    checkpoints are written by rank 0 only; other hosts discard saves and
+    resume from the shared output_dir."""
+
+    def save(self, model, step: int, optimizer=None) -> str:
+        return ""
+
+    def wait(self) -> None:
+        pass
+
+
 def latest_step_checkpoint(output_dir: str, prefix: str = "model_step"
                            ) -> Optional[Tuple[str, int]]:
     """Auto-resume discovery (pretrain.py:906-917).

@@ -136,8 +136,16 @@ def make_pretrain_step(model: BiEncoderForPretraining,
     return init_state, step_for_task
 
 
-def make_validate_fn(model: BiEncoderForPretraining) -> Callable:
-    """Per-task validation forward (pretrain.py:539-790 validate_*)."""
+def make_validate_fn(model: BiEncoderForPretraining,
+                     mesh=None) -> Callable:
+    """Per-task validation forward (pretrain.py:539-790 validate_*).
+
+    With a ``mesh``, batches are device_put replicated over it: validation
+    loaders are complete per host (no rank sharding), so every host runs
+    the identical sweep and the metrics agree bit-for-bit; in multi-process
+    mode the jitted SPMD program requires global arrays, which replication
+    provides.
+    """
     _cache: Dict[str, Callable] = {}
 
     def validate_batch(params, batch, task: str):
@@ -154,6 +162,9 @@ def make_validate_fn(model: BiEncoderForPretraining) -> Callable:
             _cache[task] = fn
         model_batch = {k: v for k, v in batch.items()
                        if k not in ("n_valid", "sample_size")}
+        if mesh is not None:
+            from lightningdot_tpu.parallel.mesh import replicate
+            model_batch = replicate(mesh, model_batch)
         return fn(params, model_batch)
 
     return validate_batch
