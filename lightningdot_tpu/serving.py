@@ -317,9 +317,16 @@ class Retriever:
         """dvl/utils.py:204-211 semantics -> [(db_id, score)] ranked."""
         return self.retrieve_batch([query], top=top)[0]
 
-    def retrieve_batch(self, queries: Sequence[str], top: int = 100
-                       ) -> List[List[Tuple[Any, float]]]:
-        """Batched query path (one fused program per shape bucket)."""
+    def retrieve_batch_arrays(self, queries: Sequence[str], top: int = 100
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Array-level batched query path: ``(idx int32 [n,k], scores f32
+        [n,k])`` ranked, with ``idx`` indexing :attr:`ids`.
+
+        This is the hot serving interface — it performs no per-result
+        Python work (the tuple-of-(id, score) conversion in
+        :meth:`retrieve_batch` costs ~1 ms at batch 64 x k=100, comparable
+        to the device call itself; the native HTTP frontend formats
+        responses from these raw buffers in C++)."""
         from lightningdot_tpu.data.padding import bucket_len
 
         token_lists = [self.tokenizer.encode(q) for q in queries]
@@ -336,7 +343,17 @@ class Retriever:
         scores, idx = self._query_fn(L, k)(
             self._enc_params(), jnp.asarray(ids), jnp.asarray(mask),
             self._corpus, self._bias, scales)
-        scores, idx = np.asarray(scores), np.asarray(idx)
+        return np.asarray(idx, np.int32), np.asarray(scores, np.float32)
+
+    @property
+    def ids(self) -> List[Any]:
+        """Corpus db_ids, in index order (pairs with retrieve_batch_arrays)."""
+        return self._ids
+
+    def retrieve_batch(self, queries: Sequence[str], top: int = 100
+                       ) -> List[List[Tuple[Any, float]]]:
+        """Batched query path (one fused program per shape bucket)."""
+        idx, scores = self.retrieve_batch_arrays(queries, top=top)
         return [[(self._ids[i], float(s)) for i, s in zip(row_i, row_s)]
                 for row_i, row_s in zip(idx, scores)]
 
