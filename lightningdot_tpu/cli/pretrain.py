@@ -212,6 +212,19 @@ def main(cmds=None):
         assert args.max_bb + args.max_txt_len + 2 <= 512
     else:
         assert args.num_bb + args.max_txt_len + 2 <= 512
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
+
+    # the latch installs BEFORE setup: a preemption signal during data/model
+    # construction or the (possibly minutes-long) first compile must not
+    # kill the process — it is held until the loop's first update boundary,
+    # which checkpoints and exits cleanly
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None))
+    with guard:  # restores the SIGTERM handler even if setup/loop raises
+        return _main(args, guard)
+
+
+def _main(args, guard):
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -400,15 +413,12 @@ def main(cmds=None):
     LOGGER.info("start pre-training: %d steps, tasks=%s",
                 args.num_train_steps, list(train_loaders))
     from lightningdot_tpu.data.padding import Recycler
-    from lightningdot_tpu.utils.preemption import PreemptionGuard
 
     # recycle spent host batches into the padding buffer pool once the step
     # that consumed them reports ready (see Recycler docstring)
     recycler = Recycler()
-    guard = PreemptionGuard(
-        sim_after_step=getattr(args, "sim_preempt_step", None))
     preempted = False
-    with guard:  # restores the SIGTERM handler even if the loop raises
+    with guard:  # re-enter the main()-installed guard around the hot loop
         results, state, last_validated, global_step, preempted = _train_loop(
             args, meta_loader, step_for_task, state, rng, guard, recycler,
             task2loss, pending_loss, log_every, n_examples, start, lr_fn,

@@ -67,6 +67,18 @@ def main(cmds=None):
         assert args.max_bb + args.max_txt_len + 2 <= 512
     else:
         assert args.num_bb + args.max_txt_len + 2 <= 512
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
+
+    # installed before setup: a preemption signal during model/data
+    # construction or the first compile latches instead of killing the
+    # process (the loop then checkpoints at its first boundary and exits)
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None))
+    with guard:
+        return _main(args, guard)
+
+
+def _main(args, guard):
     print_args(args, LOGGER.info)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
 
@@ -188,7 +200,6 @@ def main(cmds=None):
     if mesh is not None:
         state = replicate(mesh, state)
 
-    from lightningdot_tpu.utils.preemption import PreemptionGuard
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     if mesh is not None:
@@ -204,10 +215,8 @@ def main(cmds=None):
     accum = args.gradient_accumulation_steps
     check_every = max(getattr(args, "preempt_check_steps", 25), accum)
     check_every += (-check_every) % accum
-    guard = PreemptionGuard(
-        sim_after_step=getattr(args, "sim_preempt_step", None),
-        check_every=check_every)
-    guard.__enter__()
+    guard.check_every = check_every  # now that accum is known
+    guard.__enter__()  # re-enter the main()-installed guard (no-op install)
 
     try:
         for epoch in range(args.num_train_epochs):

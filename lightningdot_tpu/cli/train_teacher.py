@@ -95,6 +95,19 @@ def build_parser():
 
 def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
+
+    # installed before setup: a preemption signal during model/data
+    # construction or the first compile latches instead of killing the
+    # process (the loop then checkpoints at its first boundary and exits)
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None),
+        check_every=getattr(args, "preempt_check_steps", 25))
+    with guard:
+        return _main(args, guard)
+
+
+def _main(args, guard):
     print_args(args, LOGGER.info)
     os.makedirs(args.output_dir, exist_ok=True)
     setup_runtime(args)
@@ -280,16 +293,13 @@ def main(cmds=None):
         mine(state)  # initial mining pass (train_itm.py:191-193)
 
     from lightningdot_tpu.data.padding import Recycler
-    from lightningdot_tpu.utils.preemption import PreemptionGuard
     from lightningdot_tpu.utils.runtime import dropout_key
     rng = dropout_key(args.seed)  # rbg: free dropout masks
     global_step = 0
     t0 = time.time()
     losses = []
     recycler = Recycler()  # pool spent host batches (see padding.Recycler)
-    with PreemptionGuard(
-            sim_after_step=getattr(args, "sim_preempt_step", None),
-            check_every=getattr(args, "preempt_check_steps", 25)) as guard:
+    with guard:  # re-enter the main()-installed guard around the hot loop
         while global_step < args.num_train_steps:
             fn, mb = next_batch(global_step)
             state, loss = fn(state, mb, jax.random.fold_in(rng, global_step))

@@ -57,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(cmds=None):
     args = parse_with_config(build_parser(), cmds)
+    from lightningdot_tpu.utils.preemption import PreemptionGuard
+
+    # installed before setup so a preemption signal during model/data
+    # construction or the first compile latches instead of killing the
+    # process; the epoch loop checkpoints and exits at the next boundary
+    guard = PreemptionGuard(
+        sim_after_step=getattr(args, "sim_preempt_step", None),
+        check_every=getattr(args, "preempt_check_steps", 25))
+    with guard:
+        return _main(args, guard)
+
+
+def _main(args, guard):
     os.makedirs(args.output_dir, exist_ok=True)
     print_args(args, LOGGER.info)
     TB_LOGGER.create(os.path.join(args.output_dir, "metrics.jsonl"))
@@ -141,6 +154,7 @@ def main(cmds=None):
     loss_meter = RunningMeter("loss")
     global_step = 0
     results = {}
+    preempted = False
     for epoch in range(args.num_train_epochs):
         t0 = time.time()
         n_ex = 0
@@ -155,6 +169,9 @@ def main(cmds=None):
             global_step += 1
             n_ex += batch["n_valid"]
             recycler.push(batch, ready=metrics["loss"])
+            if guard.check(global_step):
+                preempted = True
+                break
             if (step + 1) % args.log_result_step == 0:
                 if pending is not None:
                     loss = float(pending["loss"])
@@ -168,6 +185,14 @@ def main(cmds=None):
                     TB_LOGGER.log_metric("loss_train", loss)
                 pending = metrics
         recycler.flush()
+        if preempted:
+            # MultiSteps keeps params fixed between update boundaries, so
+            # the snapshot is exact regardless of where the window stood
+            save_checkpoint(os.path.join(args.output_dir, "vqa.last"),
+                            model=state.params, step=global_step, epoch=epoch)
+            LOGGER.warning("exiting after preemption checkpoint at step %d",
+                           global_step)
+            break
 
         val = evaluate_vqa(model, state.params, val_loader)
         LOGGER.info("epoch %d: val loss=%.4f acc=%.4f", epoch, val["loss"],

@@ -42,6 +42,7 @@ class PreemptionGuard:
         # collective serializes hosts on a host-RTT round trip per step)
         self.check_every = max(int(check_every), 1)
         self._old = {}
+        self._depth = 0
 
     def _handler(self, signum, frame):
         LOGGER.warning("signal %d: finishing the current update, "
@@ -75,12 +76,20 @@ class PreemptionGuard:
         return self.requested
 
     def __enter__(self) -> "PreemptionGuard":
-        if threading.current_thread() is threading.main_thread():
+        """Re-entrant: drivers install ONE guard at the very top of main()
+        (so a signal during the minutes-long setup/compile phase is latched,
+        not fatal) and re-enter the same object around the hot loop."""
+        self._depth += 1
+        if (self._depth == 1
+                and threading.current_thread() is threading.main_thread()):
             for sig in self.signals:
                 self._old[sig] = signal.signal(sig, self._handler)
         return self
 
     def __exit__(self, *exc) -> None:
+        self._depth -= 1
+        if self._depth > 0:
+            return
         for sig, old in self._old.items():
             signal.signal(sig, old)
         self._old.clear()

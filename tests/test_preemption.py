@@ -54,6 +54,29 @@ def test_multi_host_or_reduce_from_peer(monkeypatch):
     assert guard.requested
 
 
+def test_reentrant_enter_exit_preserves_outer_handler():
+    """Drivers install ONE guard at main() top (covering setup/compile) and
+    re-enter the same object around the hot loop; only the outermost exit
+    may restore the previous handler."""
+    import signal
+
+    def noop(sig, frm):
+        pass
+
+    old = signal.signal(signal.SIGTERM, noop)
+    try:
+        guard = PreemptionGuard()
+        with guard:
+            assert signal.getsignal(signal.SIGTERM) == guard._handler
+            with guard:  # inner re-enter: no re-save of the handler
+                assert signal.getsignal(signal.SIGTERM) == guard._handler
+            # inner exit must NOT restore — setup/loop both stay covered
+            assert signal.getsignal(signal.SIGTERM) == guard._handler
+        assert signal.getsignal(signal.SIGTERM) is noop
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
 def preemption_misc():
     import lightningdot_tpu.utils.misc as misc
 

@@ -130,6 +130,49 @@ def test_train_vqa_overfit(synth, tmp_path_factory):
     assert os.path.exists(os.path.join(out_dir, "vqa.last.json"))
 
 
+def test_train_vqa_preemption_checkpoints_and_exits(synth, tmp_path_factory):
+    """Simulated preemption (fault injection, same contract as the other
+    drivers): the epoch loop lands a vqa.last checkpoint and exits early."""
+    txt_dir, img_dir = synth
+    cfg = {"vocab_size": 28996, "hidden_size": 32, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "intermediate_size": 64,
+           "max_position_embeddings": 64, "img_dim": 32}
+    p = tmp_path_factory.mktemp("cfg_pre") / "small.json"
+    p.write_text(json.dumps(cfg))
+    out_dir = str(tmp_path_factory.mktemp("out_vqa_pre"))
+    from lightningdot_tpu.cli.train_vqa import main
+
+    results, state = main([
+        "--txt_model_config", str(p),
+        "--img_model_config", str(p),
+        "--train_txt_dbs", txt_dir,
+        "--train_img_dbs", img_dir,
+        "--val_txt_db", txt_dir,
+        "--val_img_db", img_dir,
+        "--num_answers", str(N_ANSWERS),
+        "--train_batch_size", "8",
+        "--valid_batch_size", "16",
+        "--num_train_epochs", "50",
+        "--max_bb", "10", "--min_bb", "5", "--num_bb", "10",
+        "--max_txt_len", "30",
+        "--compute_dtype", "f32",
+        "--output_dir", out_dir,
+        "--sim_preempt_step", "2",
+    ])
+    import os
+
+    import numpy as np
+
+    # preempted at step 2 of epoch 0: the last-state snapshot exists, no
+    # validation ran (results empty), and far fewer than 50 epochs of
+    # steps were taken
+    assert results == {}
+    meta = json.load(open(os.path.join(out_dir, "vqa.last.json")))
+    assert meta["step"] == 2 and meta["epoch"] == 0
+    snap = np.load(os.path.join(out_dir, "vqa.last.npz"))
+    assert len(snap.files) > 0
+
+
 def test_vqa_step_fused_adamw(dbs):
     """make_vqa_train_step must take the FusedAdamW apply branch (it has
     no .update) — the perf path runs the VQA step under LDOT_OPT_STATE/
