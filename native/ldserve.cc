@@ -70,8 +70,7 @@ struct Conn {
 struct Request {
   std::shared_ptr<Conn> conn;
   std::string query;         // percent-decoded
-  int top = 100;
-  uint64_t seq = 0;          // per-conn order: responses must ship FIFO
+  int top = 100;             // >0: live /search; <=0: pre-formed -code
 };
 
 std::string json_escape(const std::string& s) {
@@ -128,10 +127,15 @@ std::string pct_decode(const char* s, size_t n) {
 class Server {
  public:
   Server(int port, int max_batch, double max_wait_ms, int max_top,
-         ld_batch_cb cb, void* user)
+         std::vector<std::string> ids, ld_batch_cb cb, void* user)
       : max_batch_(max_batch), max_wait_us_(int64_t(max_wait_ms * 1000)),
         max_top_(max_top), default_top_(std::min(100, max_top)), cb_(cb),
         user_(user) {
+    // install ids BEFORE the threads start: ids_json_ is read lock-free by
+    // the dispatcher, so it must be immutable once requests can flow
+    ids_json_.reserve(ids.size());
+    for (auto& s : ids) ids_json_.push_back("\"" + json_escape(s) + "\"");
+    corpus_n_ = ids.size();
     listen_fd_ = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
     int one = 1;
     setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
@@ -162,13 +166,6 @@ class Server {
   }
 
   ~Server() { stop(); }
-
-  void set_ids(std::vector<std::string> ids) {
-    // pre-escape once: response formatting becomes memcpy of "\"id\","
-    ids_json_.reserve(ids.size());
-    for (auto& s : ids) ids_json_.push_back("\"" + json_escape(s) + "\"");
-    corpus_n_ = ids.size();
-  }
 
   void stop() {
     bool was = stopping_.exchange(true);
@@ -490,11 +487,11 @@ class Server {
       }
       if (group.empty()) continue;
 
-      // split out pre-formed responses (error replies queued for ordering)
+      // run the batch callback over the live /search requests first...
       int n_live = 0;
       for (auto& r : group)
         if (r.top > 0) ++n_live;
-
+      int rc = 0;
       if (n_live > 0) {
         offsets.assign(1, 0);
         blob.clear();
@@ -505,30 +502,29 @@ class Server {
         }
         idx.resize(static_cast<size_t>(n_live) * max_top_);
         scores.resize(static_cast<size_t>(n_live) * max_top_);
-        int rc = cb_(user_, blob.data(), offsets.data(), n_live, max_top_,
-                     idx.data(), scores.data());
+        rc = cb_(user_, blob.data(), offsets.data(), n_live, max_top_,
+                 idx.data(), scores.data());
         n_batches_.fetch_add(1);
         n_batched_reqs_.fetch_add(static_cast<uint64_t>(n_live));
         if (rc != 0) n_errors_.fetch_add(static_cast<uint64_t>(n_live));
-
-        int row = 0;
-        for (auto& r : group) {
-          if (r.top <= 0) continue;
-          if (rc != 0) {
-            append_response(r.conn, 500,
-                            "{\"error\":\"batch callback failed\"}");
-          } else {
-            format_result(body, r.query, &idx[size_t(row) * max_top_],
-                          &scores[size_t(row) * max_top_], r.top);
-            append_response(r.conn, 200, body);
-          }
-          r.conn->inflight.fetch_sub(1);
+      }
+      // ...then ship ALL responses in group (= arrival) order, so live and
+      // pre-formed (queued error) replies on one pipelined connection keep
+      // HTTP's required FIFO order
+      int row = 0;
+      for (auto& r : group) {
+        if (r.top <= 0) {
+          append_out(r.conn, http_frame(-r.top, r.query));
+        } else if (rc != 0) {
+          append_response(r.conn, 500,
+                          "{\"error\":\"batch callback failed\"}");
+          ++row;
+        } else {
+          format_result(body, r.query, &idx[size_t(row) * max_top_],
+                        &scores[size_t(row) * max_top_], r.top);
+          append_response(r.conn, 200, body);
           ++row;
         }
-      }
-      for (auto& r : group) {
-        if (r.top > 0) continue;
-        append_out(r.conn, http_frame(-r.top, r.query));
         r.conn->inflight.fetch_sub(1);
       }
       wake();  // IO thread flushes all updated connections
@@ -624,15 +620,14 @@ extern "C" {
 int ldserve_start(int port, int max_batch, double max_wait_ms, int max_top,
                   const char* ids_blob, const int32_t* ids_off, int n_ids,
                   ld_batch_cb cb, void* user) {
-  auto s = std::make_unique<Server>(port, max_batch, max_wait_ms, max_top,
-                                    cb, user);
-  if (s->error()) return -s->error();
   std::vector<std::string> ids;
   ids.reserve(static_cast<size_t>(n_ids));
   for (int i = 0; i < n_ids; ++i)
     ids.emplace_back(ids_blob + ids_off[i],
                      static_cast<size_t>(ids_off[i + 1] - ids_off[i]));
-  s->set_ids(std::move(ids));
+  auto s = std::make_unique<Server>(port, max_batch, max_wait_ms, max_top,
+                                    std::move(ids), cb, user);
+  if (s->error()) return -s->error();
   std::lock_guard<std::mutex> g(g_reg_m);
   int h = g_next_handle++;
   g_servers[h] = std::move(s);

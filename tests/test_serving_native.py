@@ -101,6 +101,48 @@ def test_callback_exception_becomes_500():
         assert _get(srv, "/healthz")["ok"] is True
 
 
+def test_pipelined_fifo_order_with_queued_errors():
+    """HTTP/1.1 pipelining: responses on one connection must ship in
+    request order even when an error reply (routed through the dispatcher
+    queue because a /search is in flight) lands in the same dispatch group
+    as a later /search."""
+    import socket
+    import time
+
+    def slow_retrieve(queries, k):
+        time.sleep(0.05)  # hold the batch so the pipelined tail queues up
+        return fake_retrieve(queries, k)
+
+    with NativeRetrievalServer(IDS, slow_retrieve, max_batch=8,
+                               max_wait_ms=1.0, max_top=10) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"GET /search?q=first&top=1 HTTP/1.1\r\nHost: l\r\n\r\n"
+                  b"GET /bogus HTTP/1.1\r\nHost: l\r\n\r\n"
+                  b"GET /search?q=second&top=1 HTTP/1.1\r\nHost: l\r\n\r\n")
+        buf = b""
+        deadline = time.time() + 10
+        while buf.count(b"\r\n\r\n") < 3 and time.time() < deadline:
+            s.settimeout(max(0.1, deadline - time.time()))
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        s.close()
+        statuses, bodies = [], []
+        rest = buf
+        for _ in range(3):
+            head, _, rest = rest.partition(b"\r\n\r\n")
+            assert head, f"missing response: {buf!r}"
+            statuses.append(head.split(b"\r\n")[0].split(b" ", 1)[1])
+            n = int([ln for ln in head.split(b"\r\n")
+                     if ln.lower().startswith(b"content-length:")][0][15:])
+            bodies.append(rest[:n])
+            rest = rest[n:]
+        assert statuses == [b"200 OK", b"404 Not Found", b"200 OK"], buf
+        assert json.loads(bodies[0])["query"] == "first"
+        assert json.loads(bodies[2])["query"] == "second"
+
+
 def test_loadgen_closed_loop_smoke(server):
     stats = run_loadgen(server.port, rate=1500, duration_s=1.0, conns=4,
                         top=10)
