@@ -443,3 +443,24 @@ def save_biencoder_pt(path: str, params: Mapping[str, Any]) -> None:
     torch.save({"model_dict": sd, "optimizer_dict": None,
                 "scheduler_dict": None, "offset": 0, "epoch": 0,
                 "encoder_params": None}, path)
+
+
+def export_cross_encoder(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """CrossEncoder params -> UniterForImageTextRetrieval-layout state dict
+    (inverse of :func:`map_cross_encoder`; uniter_model/model/itm.py:12-27).
+    """
+    sd = dict(export_tower(params["uniter"], with_img=True))
+    for head in ("itm_output", "rank_output"):
+        if head in params:
+            _export_lin(sd, head, params[head])
+    return sd
+
+
+def save_cross_encoder_pt(path: str, params: Mapping[str, Any]) -> None:
+    """Write a torch-loadable teacher checkpoint (bare state dict, the
+    released uniter-base.pt shape)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_cross_encoder(params).items()}
+    torch.save(sd, path)

@@ -142,3 +142,26 @@ def test_strict_load_rejects_shape_and_extra_keys(tmp_path):
         load_checkpoint(path, model_template={"w": np.zeros((2, 3))})
     with pytest.raises(KeyError, match="parameters the model does not"):
         load_checkpoint(path, model_template={})
+
+
+def test_cross_encoder_torch_pt_roundtrip(tmp_path):
+    """Teacher export -> released-layout .pt -> map_cross_encoder is the
+    identity (used by scripts/reproduce_baseline.py --selftest)."""
+    from lightningdot_tpu.models.checkpoint_torch import (
+        map_cross_encoder, save_cross_encoder_pt)
+    from lightningdot_tpu.models.cross_encoder import CrossEncoder
+
+    cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=48, img_dim=16)
+    model = CrossEncoder(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "teacher.pt")
+    save_cross_encoder_pt(path, params)
+
+    from lightningdot_tpu.models.checkpoint_torch import load_torch_state_dict
+
+    loaded = map_cross_encoder(load_torch_state_dict(path), num_layers=2)
+    assert compare_models(jax.tree.map(np.asarray, params),
+                          jax.tree.map(np.asarray, loaded),
+                          verbose=False) == 0
