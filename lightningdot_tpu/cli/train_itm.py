@@ -271,7 +271,10 @@ def _main(args, guard):
                 if guard.check(global_step):
                     break
             recycler.flush()
-            if guard.requested:
+            # epoch boundary: all hosts reach this line together, so force
+            # the OR-reduce — a signal latched after the loop's last gather
+            # boundary must not split hosts across the epoch transition
+            if guard.sync():
                 # preemption: snapshot (model + step + epoch) and exit cleanly;
                 # continue later via --biencoder_checkpoint biencoder.preempt
                 # weights-only warm start: relaunch with
@@ -331,7 +334,7 @@ def _main(args, guard):
     finally:
         guard.__exit__()  # restore SIGTERM even if an epoch raises
     results = {"best_val_recall_mean": best_eval_metric}
-    if guard.requested:  # skip the final test sweep in the grace window
+    if guard.sync():  # skip the final test sweep in the grace window
         return results, state
     if args.test_txt_db:
         test_dataset = load_dataset(all_img_dbs, args.test_txt_db,

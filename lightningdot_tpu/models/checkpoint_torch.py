@@ -302,9 +302,12 @@ def map_pretrain_model(sd: Mapping[str, np.ndarray], *, num_layers: int = 12,
         heads["itm_output"] = _lin(sd, "itm_output")
     # the towers are accounted inside map_bi_encoder; heads here. NSP is a
     # BERT-only head no UNITER/DVL architecture consumes
-    # (cls.seq_relationship, present in stock BertForPreTraining dumps).
+    # (cls.seq_relationship, present in stock BertForPreTraining dumps);
+    # mrm-nce heads (nce_output/nce_norm) are the reference's dead branch
+    # and are skipped like everywhere else (_HEAD_FAMILY_PREFIXES).
     _account_keys(sd, context="map_pretrain_model(heads)", strict=strict,
-                  skip_prefixes=("bert.", "cls.seq_relationship."),
+                  skip_prefixes=("bert.", "cls.seq_relationship.",
+                                 "nce_output.", "nce_norm."),
                   skip_exact=_TIED_DUPLICATE_KEYS)
     return {"bert": (map_bi_encoder(bert, num_layers=num_layers,
                                     strict=strict)

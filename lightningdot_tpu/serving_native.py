@@ -64,6 +64,10 @@ class NativeRetrievalServer:
                  max_top: int = 100):
         self._lib = _lib()
         self._retrieve = retrieve_arrays
+        # the retriever clamps k to the corpus size (serving.py
+        # retrieve_batch_arrays); the server's k must match or the cb's
+        # (n, k) shape check fails on every batch for small corpora
+        max_top = max(1, min(max_top, len(ids)))
         self.max_top = max_top
         id_strs = [str(i).encode("utf-8") for i in ids]
         blob = b"".join(id_strs)

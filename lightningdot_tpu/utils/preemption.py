@@ -75,6 +75,23 @@ class PreemptionGuard:
             self.requested = any(host_all_gather(self.requested))
         return self.requested
 
+    def sync(self) -> bool:
+        """Force the OR-reduce NOW, regardless of cadence.
+
+        For epoch/run boundaries that every host reaches together: a local
+        latch that arrived after the last :meth:`check` gather boundary
+        would otherwise desynchronize hosts (one exits the epoch loop, the
+        rest enter the next SPMD step and hang waiting for it). Costs one
+        collective per call — keep it out of per-step loops.
+        """
+        import jax
+
+        if jax.process_count() > 1:
+            from lightningdot_tpu.utils.misc import host_all_gather
+
+            self.requested = any(host_all_gather(self.requested))
+        return self.requested
+
     def __enter__(self) -> "PreemptionGuard":
         """Re-entrant: drivers install ONE guard at the very top of main()
         (so a signal during the minutes-long setup/compile phase is latched,

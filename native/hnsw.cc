@@ -310,6 +310,12 @@ class HNSW {
     std::vector<std::thread> pool;
     for (int t = 1; t < nt; ++t) pool.emplace_back(thread_main, t);
 
+    // Main-thread work below (data_.insert, links resize, connect) can
+    // throw too (bad_alloc on the build's largest allocations). Unwinding
+    // past the joinable pool would std::terminate before the C ABI's
+    // catch, so capture here and fall through to the shared stop/join.
+    std::exception_ptr main_err;
+    try {
     while (i < n) {
       base = size();
       // align chunk ends to absolute-id multiples of kChunk: boundaries
@@ -363,12 +369,16 @@ class HNSW {
       }
       i += c;
     }
+    } catch (...) {
+      main_err = std::current_exception();
+    }
     {
       std::lock_guard<std::mutex> lk(pm);
       stop = true;
     }
     cv_start.notify_all();
     for (auto& th : pool) th.join();
+    if (main_err) std::rethrow_exception(main_err);  // caught at the C ABI
     for (auto& e : errs)
       if (e) std::rethrow_exception(e);  // caught at the C ABI boundary
   }
