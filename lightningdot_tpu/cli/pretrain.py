@@ -59,6 +59,10 @@ def build_parser():
                    help="fault injection: act as if SIGTERM arrived at "
                         "this global step (tests the preemption path "
                         "deterministically)")
+    p.add_argument("--preempt_check_steps", type=int, default=25,
+                   help="multi-host preemption OR-reduce cadence in "
+                        "optimizer updates (1 = every update; coarser "
+                        "keeps the host-RTT collective off the hot loop)")
     p.add_argument("--compute_dtype", default="bf16",
                    choices=["bf16", "f32"])
     p.add_argument("--kernel_backend", default="auto",
@@ -218,8 +222,13 @@ def main(cmds=None):
     # construction or the (possibly minutes-long) first compile must not
     # kill the process — it is held until the loop's first update boundary,
     # which checkpoints and exits cleanly
+    # guard.check(global_step) runs at optimizer-update boundaries (already
+    # once per accumulation window), so the cadence is in UPDATES — one
+    # host gather per `preempt_check_steps` windows, like train_itm
+    # (the reference pays one all_gather_list per window, pretrain.py:392)
     guard = PreemptionGuard(
-        sim_after_step=getattr(args, "sim_preempt_step", None))
+        sim_after_step=getattr(args, "sim_preempt_step", None),
+        check_every=max(getattr(args, "preempt_check_steps", 25), 1))
     with guard:  # restores the SIGTERM handler even if setup/loop raises
         return _main(args, guard)
 

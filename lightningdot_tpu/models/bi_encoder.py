@@ -399,7 +399,13 @@ class BiEncoderForPretraining:
         """
         txt, img, cap = self.bi_encoder.apply(
             params["bert"], batch, deterministic=deterministic, rng=rng)
-        pos_idx = batch["pos_ctx_indices"]
+        # positives are the diagonal of the in-batch score matrix. Computed
+        # on the traced batch (not read from batch['pos_ctx_indices']): the
+        # collate emits a LOCAL arange, and under multi-host shard_batch the
+        # per-host aranges concatenate to [0..n-1, 0..n-1, ...] — wrong
+        # global labels that would make rank>0 rows treat rank 0's images
+        # as positives (matches itm_step.py's pos_idx construction).
+        pos_idx = jnp.arange(txt.shape[0])
         # fixed-size padding duplicates the last item: its copies must not
         # act as extra negative context columns in the real rows' softmax
         # denominators (weights already zero the pad rows' own loss)

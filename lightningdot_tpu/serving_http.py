@@ -17,6 +17,7 @@ work is serialized by the frontend's dispatch thread).
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -67,8 +68,13 @@ def make_handler(frontend: BatchingFrontend, default_top: int = 100):
             except Exception as e:  # surfaced, not swallowed
                 self._reply(500, {"error": repr(e)})
                 return
+            # non-finite scores become JSON null (bare NaN/Infinity tokens
+            # from json.dumps are invalid per RFC 8259; the native ldserve
+            # frontend emits null for the same case)
             self._reply(200, {"query": text,
-                              "results": [[i, s] for i, s in results]})
+                              "results": [
+                                  [i, s if math.isfinite(s) else None]
+                                  for i, s in results]})
 
     return Handler
 

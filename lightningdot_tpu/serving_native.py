@@ -19,6 +19,7 @@ production shape of the same capability.
 from __future__ import annotations
 
 import ctypes
+import weakref
 from typing import Optional, Sequence
 
 import numpy as np
@@ -47,6 +48,14 @@ def _lib():
                                   ctypes.POINTER(ctypes.c_uint64)]
     lib.ldserve_stop.argtypes = [ctypes.c_int]
     return lib
+
+
+def _stop_native(lib, handle, cb) -> None:
+    """Module-level so weakref.finalize never resurrects the server object;
+    holding ``cb`` keeps the callback trampoline alive until the C++ side
+    has joined its threads."""
+    lib.ldserve_stop(handle)
+    del cb
 
 
 class NativeRetrievalServer:
@@ -102,6 +111,14 @@ class NativeRetrievalServer:
             raise OSError(-handle, "ldserve_start failed")
         self._handle = handle
         self.port = self._lib.ldserve_port(handle)
+        # GC / interpreter-exit safety net: the C++ server threads hold a
+        # raw pointer to the ctypes trampoline (self._cb); if this object
+        # were collected without stop(), the next request would call into
+        # freed memory. The finalizer owns references to (lib, cb) so the
+        # trampoline outlives the native server no matter how we go down
+        # (weakref.finalize also runs at interpreter exit).
+        self._finalizer = weakref.finalize(
+            self, _stop_native, self._lib, handle, self._cb)
 
     @property
     def address(self) -> str:
@@ -115,7 +132,7 @@ class NativeRetrievalServer:
 
     def stop(self) -> None:
         if self._handle is not None:
-            self._lib.ldserve_stop(self._handle)
+            self._finalizer()  # idempotent: runs _stop_native exactly once
             self._handle = None
 
     def __enter__(self):

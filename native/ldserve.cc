@@ -40,6 +40,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdio>
 #include <string_view>
@@ -540,10 +541,17 @@ class Server {
   }
 
   // fast float -> "%.4f"-style text for well-behaved scores (the hot path:
-  // k floats per response); falls back to snprintf for huge/non-finite
+  // k floats per response); snprintf for huge-but-finite. Non-finite
+  // scores become JSON null — bare nan/inf tokens are invalid per RFC
+  // 8259 (serving_http.py makes the same choice, so the two frontends
+  // agree on degenerate scores).
   static char* fmt_score(char* p, float v) {
     double d = static_cast<double>(v);
-    if (!(d > -1e7 && d < 1e7)) {  // also catches NaN
+    if (!std::isfinite(d)) {
+      memcpy(p, "null", 4);
+      return p + 4;
+    }
+    if (!(d > -1e7 && d < 1e7)) {
       return p + snprintf(p, 24, "%.6g", d);
     }
     if (d < 0) {

@@ -75,6 +75,63 @@ def global_itm_batch(step: int, world: int, local_bs: int = LOCAL_BS,
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *parts)
 
 
+N_ITM_PRE_STEPS = 3
+
+
+def tiny_pretrain_model():
+    """BiEncoderForPretraining at TINY size (deterministic init)."""
+    import jax
+
+    from lightningdot_tpu.models.bi_encoder import BiEncoderForPretraining
+
+    pre = BiEncoderForPretraining(model_for_step(), img_label_dim=7)
+    return pre, pre.init(jax.random.PRNGKey(1))
+
+
+def local_itm_pre_batch(step: int, rank: int, local_bs: int = LOCAL_BS,
+                        seed: int = 321):
+    """What itm_pre_collate emits on one host. ``pos_ctx_indices`` is a
+    LOCAL arange (data/pretrain.py itm_pre_collate) — under multi-host
+    shard_batch the per-host aranges concatenate to [0..n-1, 0..n-1, ...],
+    NOT the global labels, so loss equality with the single-process global
+    batch proves forward_itm derives positives itself (ADVICE r4 high)."""
+    b = local_itm_batch(step, rank, local_bs, seed)
+    del b["valid_mask"]
+    b["weights"] = np.ones((local_bs,), np.float32)
+    b["targets"] = np.ones((local_bs,), np.int32)
+    b["pos_ctx_indices"] = np.arange(local_bs, dtype=np.int32)
+    return b
+
+
+def global_itm_pre_batch(step: int, world: int, local_bs: int = LOCAL_BS,
+                         seed: int = 321):
+    """The batch a single-host collate would emit for the same global data:
+    concatenated features but a GLOBAL positive arange."""
+    import jax
+
+    parts = [local_itm_pre_batch(step, r, local_bs, seed)
+             for r in range(world)]
+    b = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *parts)
+    b["pos_ctx_indices"] = np.arange(world * local_bs, dtype=np.int32)
+    return b
+
+
+def make_itm_pre_setup(mesh, model, params):
+    """Real pretrain-step machinery for the 'itm' task on a dp mesh."""
+    import jax
+
+    from lightningdot_tpu.parallel.mesh import replicate
+    from lightningdot_tpu.training.optim import (make_optimizer,
+                                                 schedule_linear)
+    from lightningdot_tpu.training.pretrain_step import make_pretrain_step
+
+    tx = make_optimizer(schedule_linear(1e-3, 2, 100), max_grad_norm=1.0)
+    init_state, step_for_task = make_pretrain_step(model, tx)
+    state = replicate(mesh, init_state(params))
+    rng = replicate(mesh, jax.random.PRNGKey(11))
+    return state, step_for_task("itm"), rng
+
+
 def make_train_setup(mesh, params):
     """Real components: optax AdamW + clip, the jitted ITM train step."""
     import jax

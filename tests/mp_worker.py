@@ -145,6 +145,21 @@ def run_journey(cfg) -> None:
     emit("losses", phase="resume", rank=rank, values=losses2)
     emit("digest", rank=rank, value=mpc.params_digest(state.params))
 
+    # itm PRETRAIN task: the global contrastive labels must be correct
+    # after shard_batch concatenates the hosts' local batches (the collate's
+    # local pos_ctx_indices arange must NOT be trusted — ADVICE r4 high)
+    from lightningdot_tpu.parallel.mesh import shard_batch
+
+    pre_model, pre_params = mpc.tiny_pretrain_model()
+    pstate, pstep, prng = mpc.make_itm_pre_setup(mesh, pre_model, pre_params)
+    plosses = []
+    for s in range(mpc.N_ITM_PRE_STEPS):
+        batch = mpc.local_itm_pre_batch(s, rank)
+        pstate, metrics = pstep(pstate, shard_batch(mesh, batch),
+                                jax.random.fold_in(prng, s))
+        plosses.append(float(metrics["loss"]))
+    emit("losses", phase="itm_pre", rank=rank, values=plosses)
+
 
 def run_driver(cfg) -> None:
     import mp_common as mpc

@@ -50,17 +50,19 @@ def run_workers(world: int, scenario: str, timeout: int = 420, **extra):
             [sys.executable, WORKER, json.dumps(cfg)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO))
-    outs = []
+    # outputs keyed by rank index: a communicate() timeout mid-loop must
+    # not misalign rank-to-output attribution in the failure diagnostics
+    outs = [""] * world
     try:
-        for p in procs:
-            outs.append(p.communicate(timeout=timeout)[0])
+        for i, p in enumerate(procs):
+            outs[i] = p.communicate(timeout=timeout)[0]
     finally:
-        for p in procs:
+        for i, p in enumerate(procs):
             if p.poll() is None:
                 p.kill()
-                outs.append(p.communicate()[0])
+                outs[i] += p.communicate()[0]
     events = [[] for _ in range(world)]
-    for r, out in enumerate(outs[:world]):
+    for r, out in enumerate(outs):
         for line in out.splitlines():
             if line.startswith("MPRES "):
                 events[r].append(json.loads(line[len("MPRES "):]))
@@ -97,6 +99,26 @@ def _single_process_losses(world: int):
     return losses
 
 
+def _single_process_itm_pre_losses(world: int):
+    """The itm PRETRAIN task on an in-process mesh fed the global batches a
+    single-host collate would emit (global positive arange)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from lightningdot_tpu.parallel.mesh import shard_batch
+
+    mesh = Mesh(np.asarray(jax.devices()[:world]), ("dp",))
+    model, params = mpc.tiny_pretrain_model()
+    state, step_fn, rng = mpc.make_itm_pre_setup(mesh, model, params)
+    losses = []
+    for s in range(mpc.N_ITM_PRE_STEPS):
+        batch = mpc.global_itm_pre_batch(s, world)
+        state, metrics = step_fn(state, shard_batch(mesh, batch),
+                                 jax.random.fold_in(rng, s))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
 def test_two_process_journey_loss_equality_and_resume(tmp_path):
     events = run_workers(2, "journey", workdir=str(tmp_path))
 
@@ -119,6 +141,16 @@ def test_two_process_journey_loss_equality_and_resume(tmp_path):
 
     # decreasing-ish sanity: training actually moved the params
     assert train[0][0] != train[0][-1]
+
+    # itm PRETRAIN task: per-step global losses agree across ranks AND
+    # equal the single-process run on the global batch — catches local
+    # pos_ctx_indices aranges leaking into the cross-host contrastive
+    # labels (ADVICE r4 high)
+    pre = [_one(events[r], "losses", phase="itm_pre")["values"]
+           for r in range(2)]
+    np.testing.assert_allclose(pre[0], pre[1], rtol=0, atol=1e-6)
+    ref_pre = _single_process_itm_pre_losses(2)
+    np.testing.assert_allclose(pre[0], ref_pre, rtol=0, atol=2e-5)
 
     # the rank-0 checkpoint exists exactly once and both ranks ended on
     # identical parameters (each rank verified loaded==live in-process)
