@@ -314,9 +314,14 @@ def _main(args, guard):
     lr_fn = get_lr_sched(getattr(args, "decay", "linear"),
                          args.learning_rate, args.warmup_steps,
                          args.num_train_steps)
+    # adam_eps 1e-6 = the vendored AdamW default (uniter_model/optim/
+    # adamw.py:23, build_optimizer never overrides it); first_lr_step=1 =
+    # the post-increment schedule read (pretrain.py:458-463)
     tx = make_optimizer(lr_fn, betas=tuple(getattr(args, "betas", (0.9, 0.98))),
+                        adam_eps=getattr(args, "adam_eps", 1e-6),
                         weight_decay=getattr(args, "weight_decay", 0.01),
-                        max_grad_norm=getattr(args, "grad_norm", 5.0))
+                        max_grad_norm=getattr(args, "grad_norm", 5.0),
+                        first_lr_step=1)
     init_state, step_for_task = make_pretrain_step(
         model, tx, accum_steps=args.gradient_accumulation_steps,
         teacher=teacher, teacher_params=teacher_params,

@@ -167,7 +167,14 @@ def _main(args, guard):
 
     lr = schedule_linear(args.learning_rate, args.warmup_steps,
                          args.num_train_steps)
-    tx = make_optimizer(lr, max_grad_norm=args.max_grad_norm)
+    # UNITER optimizer convention (uniter_model/train_itm.py:221-240):
+    # betas (0.9, 0.98), vendored-AdamW eps 1e-6, weight decay on the
+    # non-bias/LN group, post-increment schedule read (first_lr_step=1)
+    tx = make_optimizer(lr, max_grad_norm=args.max_grad_norm,
+                        betas=tuple(getattr(args, "betas", (0.9, 0.98))),
+                        adam_eps=getattr(args, "adam_eps", 1e-6),
+                        weight_decay=getattr(args, "weight_decay", 0.01),
+                        first_lr_step=1)
     state = create_train_state(params, tx)
 
     import optax

@@ -121,17 +121,24 @@ def _main(args, guard):
 
     from lightningdot_tpu.training.optim import clip_by_global_norm_with_norm
 
+    # UNITER optimizer convention (uniter_model/train_vqa.py:51-85,204-215):
+    # betas (0.9, 0.98), vendored-AdamW eps 1e-6, weight decay on the
+    # non-bias/LN group, post-increment schedule read (first_lr_step=1)
+    opt_kw = dict(betas=tuple(getattr(args, "betas", (0.9, 0.98))),
+                  adam_eps=getattr(args, "adam_eps", 1e-6),
+                  weight_decay=getattr(args, "weight_decay", 0.01),
+                  first_lr_step=1)
     if args.vqa_lr_mul != 1.0:
         head_schedule = schedule_linear(args.learning_rate * args.vqa_lr_mul,
                                         int(0.1 * total_updates),
                                         total_updates)
         tx = optax.multi_transform(
-            {"body": make_optimizer(lr_schedule),
-             "head": make_optimizer(head_schedule)},
+            {"body": make_optimizer(lr_schedule, **opt_kw),
+             "head": make_optimizer(head_schedule, **opt_kw)},
             lambda p: {k: ("head" if k == "vqa_output" else "body")
                        for k in p})
     else:
-        tx = make_optimizer(lr_schedule)
+        tx = make_optimizer(lr_schedule, **opt_kw)
     if args.max_grad_norm and args.max_grad_norm > 0:
         # ONE model-wide global-norm clip ahead of the (possibly grouped)
         # optimizer — the reference clips over all params at once

@@ -26,17 +26,19 @@ _BLOCK_ROWS = 2048  # [2048, 128] f32 = 1 MB per operand; 7 operands in VMEM
 
 def _adamw_kernel(sc_ref, p_ref, g_ref, m_ref, v_ref,
                   p2_ref, m2_ref, v2_ref, *, b1, b2, eps, wd):
+    # reference formula (uniter_model/optim/adamw.py:75-103): eps on the
+    # uncorrected sqrt(v) (bias correction folded into step_size outside);
+    # decoupled decay multiplies the POST-step param with the plain lr
     scale = sc_ref[0]
-    lr = sc_ref[1]
-    c1 = sc_ref[2]
-    c2 = sc_ref[3]
+    step_size = sc_ref[1]
+    lr = sc_ref[2]
     g = g_ref[...] * scale
     m2 = b1 * m_ref[...] + (1.0 - b1) * g
     v2 = b2 * v_ref[...] + (1.0 - b2) * g * g
-    upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+    p2 = p_ref[...] - step_size * m2 / (jnp.sqrt(v2) + eps)
     if wd:
-        upd = upd + wd * p_ref[...]
-    p2_ref[...] = p_ref[...] - lr * upd
+        p2 = p2 - lr * wd * p2
+    p2_ref[...] = p2
     m2_ref[...] = m2
     v2_ref[...] = v2
 
@@ -47,8 +49,9 @@ def adamw_leaf_pallas(p, g, m, v, scalars, *, b1, b2, eps, wd,
                       interpret=False):
     """One fused read(g,m,v,p) -> write(p',m',v') pass over a leaf.
 
-    scalars: f32[4] = (clip_scale, lr, c1, c2) — bias-correction factors
-    computed outside so the kernel stays elementwise.
+    scalars: f32[4] = (clip_scale, step_size, lr, unused) — step_size is
+    lr*sqrt(1-b2^t)/(1-b1^t), computed outside so the kernel stays
+    elementwise.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -3,11 +3,22 @@
 Parity:
   * AdamW with no-decay groups for bias/LayerNorm params — ``get_optimizer``
     (dvl/models/bi_encoder.py:566-576) and ``build_optimizer``
-    (uniter_model/optim/misc.py:7-32). Realised as optax.adamw with a mask.
+    (uniter_model/optim/misc.py:7-32). Realised as ``scale_by_ref_adamw``,
+    which follows the reference's transformers-2.x update formula EXACTLY
+    (uniter_model/optim/adamw.py:75-103) — it differs from optax.adamw in
+    two places: eps is added to the UNCORRECTED sqrt(v) (bias correction is
+    folded into the step size instead), and decoupled weight decay
+    multiplies the POST-step parameter with the plain schedule lr.
+    tests/test_train_parity.py pins both against a torch implementation.
   * ``get_schedule_linear`` linear warmup->linear decay
     (bi_encoder.py:668-680).
   * ``get_lr_sched`` decay families: linear / invsqrt (noam) / constant /
     vqa-step (uniter_model/optim/sched.py:7-52), including the 1e-8 floor.
+
+Schedule indexing: every optimizer here evaluates the schedule at the
+0-based update index (torch LambdaLR convention — the DPR drivers' first
+update runs at lr_lambda(0)); UNITER drivers increment global_step BEFORE
+reading the schedule, which is expressed by ``first_lr_step=1``.
 """
 from __future__ import annotations
 
@@ -73,14 +84,93 @@ def grad_norm_from_opt_state(opt_state) -> jnp.ndarray | None:
     return None
 
 
+class RefAdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_ref_adamw(lr_fn, *, b1: float, b2: float, eps: float,
+                       weight_decay: float = 0.0,
+                       mask_fn=None) -> optax.GradientTransformation:
+    """The reference's AdamW as one optax transform producing param deltas.
+
+    transformers-2.x AdamW, vendored at uniter_model/optim/adamw.py:41-103
+    and imported by the DPR path (dvl/models/bi_encoder.py:36,575):
+
+        m <- b1*m + (1-b1)*g ;  v <- b2*v + (1-b2)*g^2
+        denom     = sqrt(v) + eps            # eps on the UNCORRECTED v
+        step_size = lr * sqrt(1-b2^t) / (1-b1^t)
+        p         <- p - step_size * m/denom
+        p         <- p - lr*wd*p             # decay on the POST-step p
+
+    optax.adamw instead computes m_hat/(sqrt(v_hat)+eps) and decays the
+    pre-step parameter; both differences are real math divergences (the
+    eps one matters wherever sqrt(v) ~ eps). ``mask_fn(params)`` returns a
+    bool tree, True = decay applies. The schedule is evaluated at the
+    0-based update index.
+    """
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return RefAdamWState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("scale_by_ref_adamw requires params")
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = lr_fn(count - 1) if callable(lr_fn) else lr_fn
+        step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+                          state.nu, grads)
+        if weight_decay and mask_fn is not None:
+            mask = mask_fn(params)
+        else:
+            mask = jax.tree.map(lambda _: True, params)
+
+        def delta(m, v, p, decay):
+            d = -step_size * m / (jnp.sqrt(v) + eps)
+            if weight_decay:
+                wd = jnp.where(decay, weight_decay, 0.0)
+                d = d - lr * wd * (p + d)
+            return d
+
+        updates = jax.tree.map(delta, mu, nu, params, mask)
+        return updates, RefAdamWState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(learning_rate: Callable[[int], float] | float,
                    *, adam_eps: float = 1e-8, weight_decay: float = 0.0,
                    betas: Sequence[float] = (0.9, 0.999),
-                   max_grad_norm: float = 0.0) -> optax.GradientTransformation:
-    """AdamW (+ optional global-norm clip, train_itm.py:258 / pretrain.py:488)."""
-    tx = optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=adam_eps,
-                     weight_decay=weight_decay,
-                     mask=decay_mask if weight_decay else None)
+                   max_grad_norm: float = 0.0,
+                   first_lr_step: int = 0) -> optax.GradientTransformation:
+    """AdamW (+ optional global-norm clip, train_itm.py:258 / pretrain.py:488).
+
+    ``first_lr_step`` is the schedule index of the FIRST optimizer update —
+    the reference uses two conventions and they differ by exactly this:
+
+      * 0 — DPR/LambdaLR (train_itm.py:175,288): update k uses lambda(k),
+        so under warmup the first update runs at lr=0 (torch LambdaLR
+        applies lr_lambda(0) before the first scheduler.step()).
+      * 1 — UNITER post-increment (pretrain.py:458-463, uniter_model/
+        train_{itm,vqa}.py:204-215): ``global_step += 1`` precedes
+        ``get_lr_sched(global_step)``, so update k uses lr(k+1).
+
+    Defaults (eps 1e-8, betas (0.9, 0.999)) are the DPR ``get_optimizer``
+    values; UNITER drivers pass betas (0.9, 0.98) and eps 1e-6 (the
+    vendored AdamW's default, uniter_model/optim/adamw.py:23).
+    """
+    if callable(learning_rate) and first_lr_step:
+        lr_raw = learning_rate
+        learning_rate = lambda step: lr_raw(step + first_lr_step)
+    tx = scale_by_ref_adamw(learning_rate, b1=betas[0], b2=betas[1],
+                            eps=adam_eps, weight_decay=weight_decay,
+                            mask_fn=decay_mask if weight_decay else None)
     if max_grad_norm and max_grad_norm > 0:
         tx = optax.chain(clip_by_global_norm_with_norm(max_grad_norm), tx)
     return tx
@@ -96,8 +186,9 @@ class FusedAdamWState(NamedTuple):
 class FusedAdamW(NamedTuple):
     """Single-pass AdamW + global-norm clip.
 
-    Same math as optax.chain(clip_by_global_norm, adamw) — verified
-    element-wise in tests/test_loss.py::test_fused_adamw_matches_optax —
+    Same math as make_optimizer's chain (clip + the reference AdamW
+    formula, uniter_model/optim/adamw.py:75-103) — verified element-wise
+    in tests/test_loss.py::test_fused_adamw_matches_optax —
     but each parameter/grad/moment leaf is touched exactly once per step
     (one fused read g,m,v,p -> write m,v,p pass), where the optax chain
     makes ~4 passes (clip-scale, adam, decay-add, apply). On v5e at
@@ -142,9 +233,13 @@ class FusedAdamW(NamedTuple):
         else:
             scale = jnp.float32(1.0)
         count = state.count + 1
-        lr = self.lr_fn(count) if callable(self.lr_fn) else self.lr_fn
+        # 0-based schedule index (make_fused_adamw's first_lr_step shifts
+        # it for the UNITER post-increment convention)
+        lr = self.lr_fn(count - 1) if callable(self.lr_fn) else self.lr_fn
+        lr = jnp.asarray(lr, jnp.float32)
         c1 = 1.0 - self.b1 ** count.astype(jnp.float32)
         c2 = 1.0 - self.b2 ** count.astype(jnp.float32)
+        step_size = lr * jnp.sqrt(c2) / c1
 
         # LDOT_ADAMW_KERNEL=1 on TPU: stream eligible leaves through the
         # Pallas fused kernel (a measured loser parked in
@@ -160,8 +255,8 @@ class FusedAdamW(NamedTuple):
         if use_kernel:
             from lightningdot_tpu.ops.experimental.adamw_pallas import (
                 adamw_leaf_pallas, leaf_eligible)
-        scalars = jnp.stack([
-            scale, jnp.asarray(lr, jnp.float32), c1, c2]).astype(jnp.float32)
+        scalars = jnp.stack([scale, step_size, lr,
+                             jnp.zeros((), jnp.float32)]).astype(jnp.float32)
 
         def leaf(g, m, v, p, decay):
             if use_kernel and leaf_eligible(p, g, m, v):
@@ -172,10 +267,12 @@ class FusedAdamW(NamedTuple):
             g = g * scale
             m2 = self.b1 * m.astype(jnp.float32) + (1.0 - self.b1) * g
             v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
-            upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + self.eps)
+            # reference formula (uniter_model/optim/adamw.py:75-103):
+            # eps on the uncorrected sqrt(v); decay on the POST-step param
+            p2 = p - step_size * m2 / (jnp.sqrt(v2) + self.eps)
             if self.weight_decay:
-                upd = upd + jnp.where(decay, self.weight_decay, 0.0) * p
-            return p - lr * upd, m2.astype(mdt), v2
+                p2 = p2 - lr * jnp.where(decay, self.weight_decay, 0.0) * p2
+            return p2, m2.astype(mdt), v2
 
         mask = (self.mask_fn(params) if self.mask_fn is not None
                 else jax.tree.map(lambda _: True, params))
@@ -193,7 +290,13 @@ def make_fused_adamw(learning_rate, *, adam_eps: float = 1e-8,
                      weight_decay: float = 0.0,
                      betas: Sequence[float] = (0.9, 0.999),
                      max_grad_norm: float = 0.0,
-                     state_dtype=None) -> FusedAdamW:
+                     state_dtype=None,
+                     first_lr_step: int = 0) -> FusedAdamW:
+    """``first_lr_step`` as in make_optimizer (0 = DPR/LambdaLR, 1 = UNITER
+    post-increment)."""
+    if callable(learning_rate) and first_lr_step:
+        lr_raw = learning_rate
+        learning_rate = lambda step: lr_raw(step + first_lr_step)
     return FusedAdamW(learning_rate, betas[0], betas[1], adam_eps,
                       weight_decay, max_grad_norm,
                       decay_mask if weight_decay else None,

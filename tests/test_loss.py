@@ -62,19 +62,17 @@ def test_dot_product_cosine(rng):
 
 
 def test_fused_adamw_matches_optax():
-    """FusedAdamW (single-pass clip+AdamW) == optax chain, element-wise.
-
-    Constant lr avoids the schedule-index convention difference (optax
-    evaluates lr(0) on the first step; the fused optimizer uses lr(1),
-    matching the reference's post-increment get_lr_sched, train_itm.py:255).
-    """
+    """FusedAdamW (single-pass clip+AdamW) == make_optimizer's chained
+    transform, element-wise — including the schedule-index convention
+    (both evaluate the schedule at the 0-based update index)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
     from lightningdot_tpu.training.optim import (make_fused_adamw,
-                                                 make_optimizer)
+                                                 make_optimizer,
+                                                 schedule_linear)
 
     rng = np.random.default_rng(0)
     params = {
@@ -84,9 +82,10 @@ def test_fused_adamw_matches_optax():
         "ln": {"scale": jnp.ones((16,), jnp.float32),
                "bias": jnp.zeros((16,), jnp.float32)},
     }
+    sched = schedule_linear(1e-3, 2, 10)
     kw = dict(weight_decay=0.01, betas=(0.9, 0.98), max_grad_norm=0.5)
-    tx = make_optimizer(1e-3, **kw)
-    fused = make_fused_adamw(1e-3, **kw)
+    tx = make_optimizer(sched, **kw)
+    fused = make_fused_adamw(sched, **kw)
 
     p_ref, s_ref = params, tx.init(params)
     p_f, s_f = params, fused.init(params)
@@ -153,7 +152,8 @@ def test_pallas_adamw_matches_jnp():
     v = jnp.asarray(rng.random(shape) * 0.01, jnp.float32)
     b1, b2, eps, wd = 0.9, 0.98, 1e-8, 0.01
     scale, lr, c1, c2 = 0.7, 1e-3, 1.0 - b1 ** 3, 1.0 - b2 ** 3
-    scalars = jnp.asarray([scale, lr, c1, c2], jnp.float32)
+    step_size = lr * np.sqrt(c2) / c1
+    scalars = jnp.asarray([scale, step_size, lr, 0.0], jnp.float32)
 
     p2, m2, v2 = adamw_leaf_pallas(p, g, m, v, scalars, b1=b1, b2=b2,
                                    eps=eps, wd=wd, interpret=True)
@@ -161,8 +161,9 @@ def test_pallas_adamw_matches_jnp():
     gs = g * scale
     m_ref = b1 * m + (1 - b1) * gs
     v_ref = b2 * v + (1 - b2) * jnp.square(gs)
-    upd = (m_ref / c1) / (jnp.sqrt(v_ref / c2) + eps) + wd * p
-    p_ref = p - lr * upd
+    # reference AdamW formula (uniter_model/optim/adamw.py:75-103)
+    p_ref = p - step_size * m_ref / (jnp.sqrt(v_ref) + eps)
+    p_ref = p_ref - lr * wd * p_ref
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m_ref), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref), rtol=1e-5, atol=1e-7)
@@ -171,6 +172,6 @@ def test_pallas_adamw_matches_jnp():
     p3, m3, v3 = adamw_leaf_pallas(p[:17], g[:17], m[:17], v[:17], scalars,
                                    b1=b1, b2=b2, eps=eps, wd=0.0,
                                    interpret=True)
-    upd3 = (m_ref[:17] / c1) / (jnp.sqrt(v_ref[:17] / c2) + eps)
-    np.testing.assert_allclose(np.asarray(p3), np.asarray(p[:17] - lr * upd3),
+    p3_ref = p[:17] - step_size * m_ref[:17] / (jnp.sqrt(v_ref[:17]) + eps)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p3_ref),
                                rtol=1e-5, atol=1e-7)

