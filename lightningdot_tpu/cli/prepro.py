@@ -233,6 +233,158 @@ def convert_imgdir(img_dir: str, output: str, conf_th: float = 0.2,
     return out_dir
 
 
+def _decode_msgpack_numpy(obj):
+    """Decode msgpack_numpy's array encoding without the package.
+
+    msgpack_numpy packs an ndarray as {b'nd': True, b'type': '<f2',
+    b'kind': b'', b'shape': [...], b'data': <bin>}; the reference's
+    uncompressed image DBs store records this way
+    (uniter_model/data/data.py:85-125 msgpack branch)."""
+    if isinstance(obj, dict):
+        nd = obj.get(b"nd", obj.get("nd"))
+        if nd is True:
+            dtype = obj.get(b"type", obj.get("type"))
+            if isinstance(dtype, bytes):
+                dtype = dtype.decode("ascii")
+            shape = obj.get(b"shape", obj.get("shape"))
+            data = obj.get(b"data", obj.get("data"))
+            return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(shape)
+        return {(k.decode("utf-8") if isinstance(k, bytes) else k):
+                _decode_msgpack_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_decode_msgpack_numpy(v) for v in obj]
+    return obj
+
+
+def convert_lmdb_txt(src: str, output: str, backend: str = "auto") -> int:
+    """Reference text LMDB (.db dir) -> ldkv text DB.
+
+    Source layout (uniter_model/data/data.py:137-174): data.mdb whose
+    values are lz4.frame(msgpack(record)), plus id2len/meta/txt2img/
+    img2txts side jsons.  Values are stored VERBATIM after lz4 decode (the
+    decompressed bytes already are the msgpack record TxtTokDb expects),
+    so conversion is lossless by construction.  Missing side jsons are
+    derived from the records.
+    """
+    import msgpack
+
+    from lightningdot_tpu.data.kvstore import KVWriter
+    from lightningdot_tpu.data.lmdb_reader import open_lmdb
+    from lightningdot_tpu.data.lz4frame import decompress
+
+    os.makedirs(output, exist_ok=True)
+    n = 0
+    id2len: Dict[str, int] = {}
+    txt2img: Dict[str, str] = {}
+    with open_lmdb(src, backend=backend) as db, \
+            KVWriter(os.path.join(output, "data.ldkv")) as w:
+        for key, value in db.items():
+            id_ = key.decode("utf-8")
+            raw = decompress(bytes(value))
+            if n == 0:  # loud early validation of the decode chain
+                first = msgpack.loads(raw, raw=False)
+                if not isinstance(first, dict) or "input_ids" not in first:
+                    raise ValueError(
+                        f"{src}: first record is not a txt-db dict "
+                        f"(got {type(first).__name__}) — wrong --kind?")
+            w.put(id_, raw)
+            rec = msgpack.loads(raw, raw=False)
+            id2len[id_] = len(rec["input_ids"])
+            if "img_fname" in rec:
+                txt2img[id_] = rec["img_fname"]
+            n += 1
+    for name in ("id2len.json", "meta.json", "txt2img.json",
+                 "img2txts.json"):
+        src_json = os.path.join(src, name)
+        if os.path.exists(src_json):
+            import shutil
+
+            shutil.copy(src_json, os.path.join(output, name))
+    # derive whatever the source did not carry
+    if not os.path.exists(os.path.join(output, "id2len.json")):
+        with open(os.path.join(output, "id2len.json"), "w") as f:
+            json.dump(id2len, f)
+    if not os.path.exists(os.path.join(output, "txt2img.json")):
+        with open(os.path.join(output, "txt2img.json"), "w") as f:
+            json.dump(txt2img, f)
+    if not os.path.exists(os.path.join(output, "img2txts.json")):
+        img2txts: Dict[str, List[str]] = {}
+        for t, im in txt2img.items():
+            img2txts.setdefault(im, []).append(t)
+        with open(os.path.join(output, "img2txts.json"), "w") as f:
+            json.dump(img2txts, f)
+    if not os.path.exists(os.path.join(output, "meta.json")):
+        raise FileNotFoundError(
+            f"{src}/meta.json missing — the reference always writes it "
+            "(CLS/SEP/MASK/v_range); cannot derive token ids safely")
+    LOGGER.info("converted %d text records from %s to %s", n, src, output)
+    return n
+
+
+_FEAT_DIR_RE = re.compile(r"feat_th([\d.]+)_max(\d+)_min(\d+)")
+_NUMBB_DIR_RE = re.compile(r"feat_numbb(\d+)")
+
+
+def convert_lmdb_img(src: str, output: str, conf_th: float | None = None,
+                     max_bb: int | None = None, min_bb: int | None = None,
+                     num_bb: int = 36, fmt: str = "raw",
+                     backend: str = "auto") -> int:
+    """Reference image-feature LMDB dir -> ldkv feature DB.
+
+    Source values are .npz payloads (compress=True distribution format) or
+    msgpack_numpy records (data.py:81-125); the ``__keys__`` entry is the
+    reference's key manifest and is skipped.  bb-count parameters default
+    to whatever the source dir name encodes (feat_th.._max.._min.. /
+    feat_numbb..), falling back to the reference defaults (0.2/100/10).
+    """
+    import io as _io
+
+    import msgpack
+
+    from lightningdot_tpu.data.lmdb_reader import open_lmdb
+
+    name = basename(src.rstrip("/"))
+    m = _FEAT_DIR_RE.search(name)
+    if m:
+        conf_th = float(m.group(1)) if conf_th is None else conf_th
+        max_bb = int(m.group(2)) if max_bb is None else max_bb
+        min_bb = int(m.group(3)) if min_bb is None else min_bb
+    mn = _NUMBB_DIR_RE.search(name)
+    if mn and conf_th is None:
+        conf_th, num_bb = -1.0, int(mn.group(1))
+    conf_th = 0.2 if conf_th is None else conf_th
+    max_bb = 100 if max_bb is None else max_bb
+    min_bb = 10 if min_bb is None else min_bb
+
+    counter = {"n": 0}
+
+    def record_iter(db):
+        for key, value in db.items():
+            if key == b"__keys__":
+                continue
+            fname = key.decode("utf-8")
+            value = bytes(value)
+            if value[:6] == b"\x93NUMPY" or value[:4] == b"PK\x03\x04":
+                # .npy / .npz payload (compress=True format, data.py:100-105)
+                dump = dict(np.load(_io.BytesIO(value), allow_pickle=True))
+            else:
+                dump = _decode_msgpack_numpy(
+                    msgpack.loads(value, raw=False))
+            if not isinstance(dump, dict) or "features" not in dump:
+                raise ValueError(
+                    f"{src}: record {fname!r} lacks 'features' "
+                    "(not an image-feature DB? wrong --kind?)")
+            counter["n"] += 1
+            yield fname, dump
+
+    with open_lmdb(src, backend=backend) as db:
+        write_feat_db(output, record_iter(db), conf_th=conf_th,
+                      max_bb=max_bb, min_bb=min_bb, num_bb=num_bb, fmt=fmt)
+    LOGGER.info("converted %d image records from %s to %s", counter["n"],
+                src, output)
+    return counter["n"]
+
+
 def annotation2json(annotation_file: str, format: str = "flickr",
                     prefix: str = "coco_val2014_", max_len: int = 12
                     ) -> Dict[str, List[str]]:
@@ -303,6 +455,25 @@ def main(cmds=None):
     p_img.add_argument("--num_bb", type=int, default=36)
     p_img.add_argument("--keep_all", action="store_true")
 
+    p_lmdb = sub.add_parser(
+        "from-lmdb", help="reference LMDB DB -> ldkv DB (txt or img)")
+    p_lmdb.add_argument("--kind", required=True, choices=["txt", "img"])
+    p_lmdb.add_argument("--src", required=True,
+                        help="txt: the .db dir (data.mdb + side jsons); "
+                             "img: the feat_* LMDB dir")
+    p_lmdb.add_argument("--output", required=True)
+    p_lmdb.add_argument("--backend", default="auto",
+                        choices=["auto", "pure", "package"],
+                        help="LMDB reader: the lmdb package when "
+                             "importable, else the built-in pure reader")
+    p_lmdb.add_argument("--conf_th", type=float, default=None,
+                        help="img only; default: parsed from the src "
+                             "dir name, then the reference defaults")
+    p_lmdb.add_argument("--max_bb", type=int, default=None)
+    p_lmdb.add_argument("--min_bb", type=int, default=None)
+    p_lmdb.add_argument("--num_bb", type=int, default=36)
+    p_lmdb.add_argument("--fmt", default="raw", choices=["raw", "npz"])
+
     p_meta = sub.add_parser("caption_meta",
                             help="annotations -> img meta json")
     p_meta.add_argument("--annotation", required=True)
@@ -347,6 +518,14 @@ def main(cmds=None):
     elif args.task == "img":
         convert_imgdir(args.img_dir, args.output, args.conf_th, args.max_bb,
                        args.min_bb, args.num_bb, args.keep_all)
+    elif args.task == "from-lmdb":
+        if args.kind == "txt":
+            convert_lmdb_txt(args.src, args.output, backend=args.backend)
+        else:
+            convert_lmdb_img(args.src, args.output, conf_th=args.conf_th,
+                             max_bb=args.max_bb, min_bb=args.min_bb,
+                             num_bb=args.num_bb, fmt=args.fmt,
+                             backend=args.backend)
     elif args.task == "caption_meta":
         res = annotation2json(args.annotation, args.format, args.prefix)
         with open(args.output, "w") as f:

@@ -214,7 +214,8 @@ def write_feat_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
                   num_bb: int = 36, fmt: str = "raw") -> None:
     """Prepro-side writer (parity with scripts/convert_imgdir.py outputs).
 
-    records: fname -> {features, norm_bb, conf[, soft_labels]}.
+    records: fname -> {features, norm_bb, conf[, soft_labels]}, or an
+    iterable of (fname, arrays) pairs (streaming conversion).
     fmt: 'raw' (zero-copy mmap reads, default) or 'npz' (compressed,
     reference-equivalent).
     """
@@ -227,8 +228,9 @@ def write_feat_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
         db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
     pack = _raw_bytes if fmt == "raw" else _npz_bytes
     name2nbb = {}
+    items = records.items() if hasattr(records, "items") else records
     with KVWriter(join(img_dir, db_name + ".ldkv")) as w:
-        for fname, arrays in records.items():
+        for fname, arrays in items:
             w.put(fname, pack(**arrays))
             if conf_th != -1:
                 name2nbb[fname] = compute_num_bb(
