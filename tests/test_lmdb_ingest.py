@@ -129,6 +129,58 @@ def test_skippable_frames_and_concatenation():
         assert dec(frame) == b"onetwo", name
 
 
+def _liblz4():
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        return None
+    lib.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    lib.LZ4F_compressFrameBound.argtypes = [ctypes.c_size_t,
+                                            ctypes.c_void_p]
+    lib.LZ4F_compressFrame.restype = ctypes.c_size_t
+    lib.LZ4F_compressFrame.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p]
+    lib.LZ4F_isError.restype = ctypes.c_uint
+    lib.LZ4F_isError.argtypes = [ctypes.c_size_t]
+    return lib
+
+
+@pytest.mark.skipif(_liblz4() is None, reason="no system liblz4")
+def test_fuzz_decoders_vs_system_liblz4():
+    """Property fuzz: real-liblz4-compressed random payloads (mixed
+    compressibility) must decode identically through the native and pure
+    decoders."""
+    import ctypes
+
+    lib = _liblz4()
+
+    def compress(data):
+        bound = lib.LZ4F_compressFrameBound(len(data), None)
+        dst = ctypes.create_string_buffer(bound)
+        got = lib.LZ4F_compressFrame(dst, bound, data, len(data), None)
+        assert not lib.LZ4F_isError(got)
+        return dst.raw[:got]
+
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        kind = trial % 3
+        size = int(rng.integers(0, 150000))
+        if kind == 0:  # highly compressible
+            data = bytes(rng.integers(0, 4, size, dtype=np.uint8))
+        elif kind == 1:  # msgpack-record-like structure
+            data = msgpack.dumps(
+                {"input_ids": rng.integers(0, 30000, size % 500).tolist(),
+                 "img_fname": "x" * (size % 64)}, use_bin_type=True)
+        else:  # incompressible
+            data = rng.bytes(size)
+        frame = compress(data)
+        for name, dec in _decoders():
+            assert dec(frame) == data, (trial, name, size)
+
+
 # ---------------------------------------------------------------------------
 # pure LMDB reader
 # ---------------------------------------------------------------------------
