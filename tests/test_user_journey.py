@@ -141,3 +141,56 @@ def test_full_journey(journey, tmp_path_factory):
                    for r in hits[i]) for i in range(len(WORDS)))
     assert top1 >= 6 and top3 == len(WORDS), (
         top1, top3, [[r[0] for r in h] for h in hits])
+
+    # 5. migration journey: re-encode the same data as reference-layout
+    # LMDBs (lz4-framed msgpack txt values, npz img values), ingest via
+    # `prepro from-lmdb`, and the eval driver must reproduce the recall
+    # dict EXACTLY on the converted DBs — the reference user's
+    # switch-over path (MIGRATION.md "Data").
+    import io
+
+    import msgpack
+
+    from tests.lmdb_fixture import write_lmdb
+    from tests.test_lmdb_ingest import _stored_frame
+
+    src_txt = TxtTokDb(txt_db, -1)
+    lmdb_txt = str(root / "ref_txt.db")
+    write_lmdb(lmdb_txt, {
+        i.encode(): _stored_frame(msgpack.dumps(src_txt[i],
+                                                use_bin_type=True))
+        for i in src_txt.id2len})
+    for side in ("id2len.json", "meta.json", "txt2img.json",
+                 "img2txts.json"):
+        with open(os.path.join(txt_db, side)) as f:
+            (root / "ref_txt.db" / side).write_text(f.read())
+
+    src_img = DetectFeatDb(img_db, 0.2, 8, 4, 8)
+    lmdb_items = {}
+    for fname in sorted(src_img.name2nbb):
+        arrays = src_img.load_arrays(fname)
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
+        lmdb_items[fname.encode()] = buf.getvalue()
+    lmdb_items[b"__keys__"] = json.dumps(
+        sorted(src_img.name2nbb)).encode()
+    lmdb_img = str(root / "feat_th0.2_max8_min4_compressed")
+    write_lmdb(lmdb_img, lmdb_items)
+
+    conv_txt = str(root / "conv_txt.db")
+    conv_img = str(root / "conv_img")
+    prepro_main(["from-lmdb", "--kind", "txt", "--src", lmdb_txt,
+                 "--output", conv_txt])
+    prepro_main(["from-lmdb", "--kind", "img", "--src", lmdb_img,
+                 "--output", conv_img])
+    # converted txt records must be byte-identical after the lz4 round
+    conv_db = TxtTokDb(conv_txt, -1)
+    assert sorted(conv_db.ids) == sorted(src_txt.ids)
+    for i in src_txt.ids:
+        assert conv_db[i] == src_txt[i]
+
+    eval_conv = eval_main(common + [
+        "--test_txt_db", conv_txt, "--test_img_db", conv_img,
+        "--biencoder_checkpoint", ckpt, "--output_dir", out_dir])
+    assert eval_conv["test"]["recall_txt"] == eval_res["test"]["recall_txt"]
+    assert eval_conv["test"]["recall_img"] == eval_res["test"]["recall_img"]
