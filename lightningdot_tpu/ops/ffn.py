@@ -136,13 +136,41 @@ def _ffn_pallas(x2d, w1, b1, w2, b2, *, with_h1, with_inter=False,
     return out, h1, inter
 
 
-def _use_pallas(x2d):
+_VMEM_BUDGET = 14 * 2 ** 20  # scoped-VMEM limit is 16 MiB; leave headroom
+
+
+def _vmem_fits(x2d, w1, w2, *, with_h1: bool) -> bool:
+    """Whether the kernel's VMEM working set fits the scoped limit.
+
+    The weights are grid-resident (constant index_map) so their full size
+    counts once; the row blocks (x in, h1 staging, optional h1/inter out,
+    out) are double-buffered by the pipeline. At f32 BERT-base dims the
+    weights alone are ~18 MiB > the 16 MiB limit — measured as a compile
+    failure ("Ran out of memory in memory space vmem", axon relay HTTP
+    500) on the f32 selftest eval; bf16 (the shipped training/serving
+    dtype, ~10 MiB) fits. Fall back to the unfused XLA path when over.
+    """
+    itemsize = x2d.dtype.itemsize
+    h = w1.shape[0]
+    inter = w1.shape[1]
+    block = min(int(os.environ.get("LDOT_FFN_BLOCK", _DEFAULT_BLOCK)),
+                x2d.shape[0])
+    weights = (w1.size + w2.size) * itemsize + (inter + h) * 4  # + biases
+    # per-block row buffers: x in, out; with_h1 adds up to two inter-wide
+    # outputs (h1 + stored gelu(h1))
+    row_width = 2 * h + (2 * inter if with_h1 else 0)
+    blocks = 2 * block * row_width * itemsize  # double-buffered
+    return weights + blocks <= _VMEM_BUDGET
+
+
+def _use_pallas(x2d, w1, w2, *, with_h1=True):
     mode = os.environ.get("LDOT_FFN", "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
-    return backend() == "pallas" and x2d.shape[0] >= 256
+    return (backend() == "pallas" and x2d.shape[0] >= 256
+            and _vmem_fits(x2d, w1, w2, with_h1=with_h1))
 
 
 def _store_inter() -> bool:
@@ -155,7 +183,7 @@ def _store_inter() -> bool:
 
 @jax.custom_vjp
 def _ffn(x2d, w1, b1, w2, b2):
-    if _use_pallas(x2d):
+    if _use_pallas(x2d, w1, w2, with_h1=False):
         out, _, _ = _ffn_pallas(x2d, w1, b1, w2, b2, with_h1=False)
         return out
     out, _ = _ffn_math(x2d, w1, b1, w2, b2)
@@ -164,7 +192,7 @@ def _ffn(x2d, w1, b1, w2, b2):
 
 def _ffn_fwd(x2d, w1, b1, w2, b2):
     store = _store_inter()
-    if _use_pallas(x2d):
+    if _use_pallas(x2d, w1, w2):
         out, h1, inter = _ffn_pallas(x2d, w1, b1, w2, b2, with_h1=True,
                                      with_inter=store)
     else:
@@ -197,7 +225,8 @@ def _ffn_bwd(res, g):
         inter = gelu(h1)                                # recompute policy
     dw2 = _dot(inter.T, g, prec)
     db2 = jnp.sum(g.astype(jnp.float32), axis=0)
-    if _use_pallas(x2d) and os.environ.get("LDOT_FFN_DH1", "0") == "1":
+    if (_use_pallas(x2d, w1, w2)
+            and os.environ.get("LDOT_FFN_DH1", "0") == "1"):
         # measured-loser kernel, parked under ops/experimental (import only
         # when the gate is set — the default path stays kernel-free)
         from lightningdot_tpu.ops.experimental.ffn_dh1 import dh1_pallas

@@ -160,3 +160,29 @@ def test_ffn_int8_matches_legacy_dense_composition():
     got = np.asarray(ffn_gelu_int8(qi, qo, x), np.float32)
     want = np.asarray(_dense_int8(qo, gelu(_dense_int8(qi, x))), np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_use_pallas_vmem_gate(monkeypatch):
+    """The Pallas FFN keeps both weight matrices VMEM-resident; at f32
+    BERT-base dims (768x3072 twice = ~18 MiB) that exceeds the 16 MiB
+    scoped-VMEM limit and the compile fails on hardware (measured: axon
+    HTTP 500 "Ran out of memory in memory space vmem" on the f32 selftest
+    eval). The dispatch must fall back to XLA for f32 full-size and keep
+    the kernel for bf16 (the shipped dtype)."""
+    from lightningdot_tpu.ops.ffn import _use_pallas, _vmem_fits
+
+    h, inter, rows = 768, 3072, 3840
+    x32 = jnp.zeros((rows, h), jnp.float32)
+    w1_32 = jnp.zeros((h, inter), jnp.float32)
+    w2_32 = jnp.zeros((inter, h), jnp.float32)
+    assert not _vmem_fits(x32, w1_32, w2_32, with_h1=False)
+    x16, w1_16, w2_16 = (a.astype(jnp.bfloat16) for a in (x32, w1_32, w2_32))
+    assert _vmem_fits(x16, w1_16, w2_16, with_h1=True)
+
+    monkeypatch.setattr("lightningdot_tpu.ops.ffn.backend",
+                        lambda: "pallas")
+    assert not _use_pallas(x32, w1_32, w2_32, with_h1=False)
+    assert _use_pallas(x16, w1_16, w2_16)
+    # explicit override still wins (perf forensics)
+    monkeypatch.setenv("LDOT_FFN", "1")
+    assert _use_pallas(x32, w1_32, w2_32)
