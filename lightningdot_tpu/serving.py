@@ -21,6 +21,14 @@ from lightningdot_tpu.models.bi_encoder import BiEncoder
 from lightningdot_tpu.training.evaluator import BatchEncoder
 
 QUERY_LEN_BUCKETS = (16, 32, 64)
+# batch-dimension ladder: every query program is jitted at a bucketed
+# batch size, so the compile set is bounded by |batch_buckets| x
+# |query_buckets| x |tops| instead of one program per distinct request
+# count (the native frontend coalesces ARBITRARY batch sizes; an
+# uncached XLA compile through the relay has measured 20+ minutes on a
+# bad day — unbounded recompiles are a production stall, not a warmup
+# cost)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
 
 def quantize_text_tower(tower, cfg) -> Dict[str, Any]:
@@ -138,7 +146,8 @@ class Retriever:
                  query_buckets: Sequence[int] = QUERY_LEN_BUCKETS,
                  mesh=None, quantization: Optional[str] = None,
                  weight_quantization: Optional[str] = None,
-                 topk: str = "exact", topk_recall: float = 0.95):
+                 topk: str = "exact", topk_recall: float = 0.95,
+                 batch_buckets: Sequence[int] = BATCH_BUCKETS):
         """``quantization='int8'`` stores the corpus as per-vector symmetric
         int8 (halves HBM traffic and memory vs bf16; scores accumulate in
         int32 on the MXU's 8-bit path, then rescale).
@@ -159,6 +168,7 @@ class Retriever:
         self.params = params
         self.tokenizer = tokenizer
         self.query_buckets = query_buckets
+        self.batch_buckets = tuple(sorted(batch_buckets))
         self.mesh = mesh               # shard the corpus over a dp mesh
         self.quantization = quantization
         self.weight_quantization = weight_quantization
@@ -249,19 +259,24 @@ class Retriever:
     def _enc_params(self):
         return self._qtower if self._qtower is not None else self.params
 
-    def warmup(self, tops: Sequence[int] = (100,)) -> None:
-        """Precompile the fused query program for every (bucket, k) pair so
-        first real queries hit the compiled path (cold compiles cost
-        seconds; p50 latency claims assume warm programs)."""
+    def warmup(self, tops: Sequence[int] = (100,),
+               batches: Sequence[int] = (1,)) -> None:
+        """Precompile the fused query program for every (batch bucket,
+        length bucket, k) triple so real queries hit compiled paths (cold
+        compiles cost seconds — 20+ minutes through the relay on a bad
+        day; p50 latency claims assume warm programs). Servers that
+        coalesce variable batches should warm every batch bucket they can
+        emit (serve_retriever does)."""
+        scales = (self._scales if self._scales is not None
+                  else jnp.zeros((0,), jnp.float32))
         for L in self.query_buckets:
-            ids = jnp.zeros((1, L), jnp.int32)
-            mask = jnp.ones((1, L), jnp.int32)
-            scales = (self._scales if self._scales is not None
-                      else jnp.zeros((0,), jnp.float32))
-            for top in tops:
-                k = min(top, len(self._ids))
-                self._query_fn(L, k)(self._enc_params(), ids, mask,
-                                     self._corpus, self._bias, scales)
+            for nb in sorted({self._batch_bucket(b) for b in batches}):
+                ids = jnp.zeros((nb, L), jnp.int32)
+                mask = jnp.ones((nb, L), jnp.int32)
+                for top in tops:
+                    k = min(top, len(self._ids))
+                    self._query_fn(L, k)(self._enc_params(), ids, mask,
+                                         self._corpus, self._bias, scales)
 
     # -- query ---------------------------------------------------------------
     def _query_fn(self, length: int, k: int):
@@ -332,18 +347,33 @@ class Retriever:
         token_lists = [self.tokenizer.encode(q) for q in queries]
         L = bucket_len(max(len(t) for t in token_lists), self.query_buckets)
         n = len(queries)
-        ids = np.zeros((n, L), np.int32)
-        mask = np.zeros((n, L), np.int32)
+        nb = self._batch_bucket(n)
+        ids = np.zeros((nb, L), np.int32)
+        mask = np.zeros((nb, L), np.int32)
         for i, t in enumerate(token_lists):
             ids[i, :len(t)] = t[:L]
             mask[i, :len(t)] = 1
+        # padding rows: one live [CLS] token each (an all-masked row would
+        # softmax over nothing); their results are sliced away below
+        ids[n:, 0] = 101
+        mask[n:, 0] = 1
         k = min(top, len(self._ids))
         scales = (self._scales if self._scales is not None
                   else jnp.zeros((0,), jnp.float32))
         scores, idx = self._query_fn(L, k)(
             self._enc_params(), jnp.asarray(ids), jnp.asarray(mask),
             self._corpus, self._bias, scales)
-        return np.asarray(idx, np.int32), np.asarray(scores, np.float32)
+        return (np.asarray(idx[:n], np.int32),
+                np.asarray(scores[:n], np.float32))
+
+    def _batch_bucket(self, n: int) -> int:
+        """Bucketed batch size (see BATCH_BUCKETS). Above the top bucket,
+        round up to a multiple of it — never truncate a query batch."""
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        top_b = self.batch_buckets[-1]
+        return ((n + top_b - 1) // top_b) * top_b
 
     @property
     def ids(self) -> List[Any]:
@@ -356,6 +386,59 @@ class Retriever:
         idx, scores = self.retrieve_batch_arrays(queries, top=top)
         return [[(self._ids[i], float(s)) for i, s in zip(row_i, row_s)]
                 for row_i, row_s in zip(idx, scores)]
+
+
+def ranking_equivalent(got, want, atol: float = None
+                       ) -> Tuple[bool, str]:
+    """Whether two ``[(id, score), ...]`` rankings agree up to score ties.
+
+    A retrieval ranking is reproducible only up to the numeric resolution
+    of the scoring pipeline: the same query scored inside a different
+    batch composition pads to a different length bucket and tiles
+    differently on the MXU, so corpus items whose scores differ by less
+    than the reduction-order jitter can legitimately swap ranks — and swap
+    in/out at the top-k boundary. Validation harnesses that compare the
+    served path against a direct :meth:`Retriever.retrieve_batch` call
+    (different coalescing ⇒ different batch shapes) must therefore accept
+    tie swaps at ``atol`` resolution while still rejecting any genuine
+    ranking divergence. Equivalence requires:
+
+    1. rank-wise score profiles match within ``atol``;
+    2. every id present in both lists sits at a rank whose two scores
+       agree within ``atol`` (it moved only inside a tie band);
+    3. every id present in exactly one list is a boundary tie: its score
+       is within ``atol`` of the other list's k-th (last) score.
+
+    ``atol=None`` derives ``1e-3 * max(1, max |score|)``. Returns
+    ``(ok, reason)`` with ``reason`` naming the first violation.
+    """
+    if len(got) != len(want):
+        return False, f"length {len(got)} != {len(want)}"
+    if not got:
+        return True, ""
+    if atol is None:
+        peak = max(abs(float(s)) for _, s in list(got) + list(want))
+        atol = 1e-3 * max(1.0, peak)
+    for p, ((_, gs), (_, ws)) in enumerate(zip(got, want)):
+        if abs(gs - ws) > atol:
+            return False, (f"rank {p}: score {gs:.6g} vs {ws:.6g} "
+                           f"(atol {atol:.3g})")
+    g_score = {i: float(s) for i, s in got}
+    w_score = {i: float(s) for i, s in want}
+    for i in g_score.keys() & w_score.keys():
+        if abs(g_score[i] - w_score[i]) > atol:
+            return False, (f"id {i!r}: score {g_score[i]:.6g} vs "
+                           f"{w_score[i]:.6g} (atol {atol:.3g})")
+    for only, other_last, name in (
+            (g_score.keys() - w_score.keys(), float(want[-1][1]), "got"),
+            (w_score.keys() - g_score.keys(), float(got[-1][1]), "want")):
+        src = g_score if name == "got" else w_score
+        for i in only:
+            if abs(src[i] - other_last) > atol:
+                return False, (f"id {i!r} only in {name}, score "
+                               f"{src[i]:.6g} not a boundary tie with "
+                               f"{other_last:.6g} (atol {atol:.3g})")
+    return True, ""
 
 
 def get_model_encoded_vecs(model: BiEncoder, params, dataloader

@@ -147,7 +147,15 @@ def serve_retriever(retriever, port: int = 0, max_batch: int = 64,
                     warmup: bool = True) -> NativeRetrievalServer:
     """Start the native server over a live :class:`serving.Retriever`."""
     if warmup:
-        retriever.warmup(tops=(max_top,))
+        # the C++ dispatcher coalesces ARBITRARY batch sizes <= max_batch;
+        # retrieve_batch_arrays buckets them (serving.BATCH_BUCKETS), so
+        # warming every reachable bucket makes the steady state stall-free
+        # (an uncached compile through the relay can take minutes)
+        batches = ([b for b in retriever.batch_buckets if b <= max_batch]
+                   or [max_batch])
+        if batches[-1] < max_batch:
+            batches.append(max_batch)
+        retriever.warmup(tops=(max_top,), batches=batches)
     return NativeRetrievalServer(
         retriever.ids, retriever.retrieve_batch_arrays, port=port,
         max_batch=max_batch, max_wait_ms=max_wait_ms, max_top=max_top)

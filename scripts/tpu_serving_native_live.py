@@ -82,7 +82,14 @@ def main():
         #    and every ranking must equal the direct batched path ---------
         queries = [f"a photo of a dog near the fountain {i}"
                    for i in range(24)]
-        direct = retriever.retrieve_batch(queries, top=10)
+        # apples-to-apples: the server always retrieves at max_top and
+        # truncates per-request in C++ (serving_native.py:73-80), and
+        # approx_max_k's candidate set depends on k — a direct top=10
+        # call can MISS items the server's k=100 pass finds (measured:
+        # 2/24 queries with a higher served rank-0 score). Retrieve at
+        # the server's k and truncate identically.
+        direct = [r[:10] for r in retriever.retrieve_batch(queries,
+                                                           top=100)]
         results = [None] * len(queries)
 
         def fetch(i):
@@ -98,21 +105,24 @@ def main():
         for t in threads:
             t.join()
         wall = time.time() - t1
-        n_bad = 0
+        from lightningdot_tpu.serving import ranking_equivalent
+
+        n_bad = n_tie_swaps = 0
         for i, (got, want) in enumerate(zip(results, direct)):
-            got_ids = [r[0] for r in got["results"]]
-            want_ids = [w for w, _ in want]
-            if got_ids != want_ids:
+            # tie-aware: the served path coalesces into different batch
+            # compositions than the one direct call, so near-tied scores
+            # may legitimately swap ranks (serving.ranking_equivalent);
+            # any divergence beyond score-jitter resolution still fails
+            ok, why = ranking_equivalent(got["results"], want)
+            if not ok:
                 n_bad += 1
-                print(f"MISMATCH q{i}: {got_ids[:3]} != {want_ids[:3]}")
-            else:
-                np.testing.assert_allclose(
-                    [r[1] for r in got["results"]],
-                    [s for _, s in want], rtol=1e-4,
-                    err_msg=f"scores diverge for q{i}")
+                print(f"MISMATCH q{i}: {why}")
+            elif [r[0] for r in got["results"]] != [w for w, _ in want]:
+                n_tie_swaps += 1
         stats = srv.stats()
         print(f"correctness: {len(queries)} concurrent queries in "
-              f"{wall:.1f}s, {n_bad} ranking mismatches, "
+              f"{wall:.1f}s, {n_bad} ranking mismatches "
+              f"({n_tie_swaps} tie-band swaps accepted), "
               f"server stats {stats}")
         assert n_bad == 0, "ldserve ranking != retrieve_batch on hardware"
         assert stats["errors"] == 0, stats

@@ -371,3 +371,53 @@ def test_retriever_sharded_int8_corpus_matches_unsharded(rng, tmp_path):
     for q in ["a dog"]:
         assert ([i for i, _ in plain.retrieve_query(q, top=10)]
                 == [i for i, _ in reloaded.retrieve_query(q, top=10)])
+
+
+def test_batch_bucketing_results_invariant(rng):
+    """retrieve_batch pads the batch dim to BATCH_BUCKETS (bounds the
+    compile set — the native frontend coalesces arbitrary sizes and an
+    uncached relay compile has measured 20+ min); padded rows must not
+    change any real row's results, at any n in a bucket."""
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    r = Retriever(model, params, FakeTokenizer(), batch_buckets=(2, 8))
+    ids = [f"i{i}" for i in range(100)]
+    r.set_corpus(ids, rng.standard_normal((100, 32)).astype(np.float32))
+    queries = [f"query about thing {i}" for i in range(7)]
+    singles = [r.retrieve_query(q, top=5) for q in queries]  # bucket 2
+    for n in (3, 5, 7):  # all pad to bucket 8
+        batched = r.retrieve_batch(queries[:n], top=5)
+        assert len(batched) == n
+        for got, want in zip(batched, singles[:n]):
+            assert [i for i, _ in got] == [i for i, _ in want]
+            np.testing.assert_allclose([s for _, s in got],
+                                       [s for _, s in want], rtol=2e-5)
+    # compile set is bucketed: only batch sizes 2 and 8 were traced
+    assert {(16, 5), (32, 5)} >= set(r._fns)
+
+    # above the top bucket: round up to a multiple, never truncate
+    assert r._batch_bucket(9) == 16 and r._batch_bucket(17) == 24
+    many = r.retrieve_batch([f"q {i}" for i in range(11)], top=3)
+    assert len(many) == 11
+
+
+def test_warmup_batch_ladder(rng):
+    model = tiny_biencoder()
+    params = model.init(jax.random.PRNGKey(0))
+    r = Retriever(model, params, FakeTokenizer(), query_buckets=(16,),
+                  batch_buckets=(1, 4))
+    r.set_corpus([f"i{i}" for i in range(50)],
+                 rng.standard_normal((50, 32)).astype(np.float32))
+    r.warmup(tops=(10,), batches=(1, 3, 4))  # 3 buckets to 4 (dedup)
+    assert set(r._fns) == {(16, 10)}
+    # all ladder shapes now cached: these calls trace nothing new
+    n_traced = [0]
+    real_fn = r._query_fn
+
+    def counting(L, k):
+        n_traced[0] += (L, k) not in r._fns
+        return real_fn(L, k)
+
+    r._query_fn = counting
+    r.retrieve_batch(["a", "b", "c"], top=10)
+    assert n_traced[0] == 0

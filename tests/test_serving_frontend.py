@@ -164,3 +164,39 @@ def test_cancelled_future_does_not_kill_resolver(retriever):
         # the resolver survived; a fresh request also works
         assert len(fe.retrieve("after the cancel", top=5)) == 5
         assert fe._resolver.is_alive()
+
+
+def test_ranking_equivalent_tie_semantics():
+    """serving.ranking_equivalent: accepts rank swaps/boundary churn only
+    inside score-tie bands (the reproducibility contract for comparing
+    differently-coalesced batch compositions), rejects real divergence."""
+    from lightningdot_tpu.serving import ranking_equivalent
+
+    want = [("a", 0.90), ("b", 0.800), ("c", 0.7995), ("d", 0.60)]
+    # identical -> ok
+    assert ranking_equivalent(list(want), want, atol=1e-3)[0]
+    # b/c swapped, scores within atol -> tie swap, ok
+    got = [("a", 0.90), ("c", 0.7996), ("b", 0.7999), ("d", 0.60)]
+    assert ranking_equivalent(got, want, atol=1e-3)[0]
+    # boundary churn: last element replaced by a tie at the k-th score
+    got = [("a", 0.90), ("b", 0.800), ("c", 0.7995), ("e", 0.6002)]
+    assert ranking_equivalent(got, want, atol=1e-3)[0]
+    # genuinely different ranking: a and d swapped (scores far apart)
+    got = [("d", 0.90), ("b", 0.800), ("c", 0.7995), ("a", 0.60)]
+    ok, why = ranking_equivalent(got, want, atol=1e-3)
+    assert not ok and "score" in why
+    # same ids and rank-wise profile, but one id's own score moved
+    got = [("a", 0.90), ("c", 0.800), ("b", 0.7995), ("d", 0.60)]
+    ok, why = ranking_equivalent(got, want, atol=1e-4)
+    assert not ok
+    # non-tie replacement rejected even with a matching score profile
+    got = [("a", 0.90), ("b", 0.800), ("x", 0.7995), ("d", 0.60)]
+    ok, why = ranking_equivalent(got, want, atol=1e-4)
+    assert not ok and "boundary" in why
+    # length mismatch
+    assert not ranking_equivalent(want[:3], want, atol=1e-3)[0]
+    # default atol derives from score scale: jitter of 1e-4 at O(100)
+    # scores is a tie at the derived 1e-1 resolution
+    big_w = [("a", 100.0), ("b", 99.99)]
+    big_g = [("b", 99.992), ("a", 99.998)]
+    assert ranking_equivalent(big_g, big_w)[0]
