@@ -97,6 +97,123 @@ def _build_selftest_artifacts(root: str) -> dict:
     return {"expected": spec, "teacher": t_ckpt}
 
 
+def _selftest_optional_paths(name, spec, _p, compute_dtype, flat_recall):
+    """Dress-rehearsal legs for the OPTIONAL operator surfaces: stage-1
+    retrieval through the native HNSW index (``--hnsw_index``, the
+    reference's `trainer.py:97-100,122-127` switch) and the production
+    query path through the C++ serving frontend (`native/ldserve.cc`).
+    Routed through ONE configuration so the one-command selftest touches
+    every surface a parity-day operator might, loud on any failure."""
+    import numpy as np
+
+    from lightningdot_tpu.cli.eval_itm import main as eval_main
+
+    failures = []
+
+    # -- leg 1: eval with the HNSW stage-1 index ---------------------------
+    print(f"=== {name} via --hnsw_index (stage-1 native HNSW) ===")
+    results = eval_main([
+        "--txt_model_config", "bert-base-cased",
+        "--img_model_config", "./configs/img_base.json",
+        "--project_dim", "768",
+        "--biencoder_checkpoint", _p(spec["ckpt"]),
+        "--test_txt_db", _p(spec["txt_db"]),
+        "--test_img_db", _p(spec["img_db"]),
+        "--max_txt_len", "60",
+        "--valid_batch_size", "80", "--inf_minibatch_size", "400",
+        "--compute_dtype", compute_dtype,
+        "--hnsw_index",
+    ])
+    got = results["test"]
+    # ef_search (128) far exceeds the selftest corpus, so the HNSW search
+    # is effectively exhaustive: recalls must match the flat index
+    for direction in ("recall_txt", "recall_img"):
+        for k, flat_v in flat_recall[direction].items():
+            have = got[direction][k]
+            if abs(have - flat_v) > 1e-9:
+                failures.append(("hnsw", direction, k, have, flat_v))
+                print(f"  FAIL hnsw {direction}@{k}: {have:.4f} "
+                      f"(flat index gave {flat_v:.4f})")
+    print(f"  hnsw-vs-flat recall identity: "
+          f"{'OK' if not failures else 'FAIL'}")
+
+    # -- leg 2: the native C++ serving frontend -----------------------------
+    # Headline serving config (PERF.md): int8 text-tower weights + int8
+    # corpus; concurrent HTTP queries must coalesce into device batches and
+    # every response must equal the direct retrieve_batch() ranking.
+    print("=== native serving frontend (ldserve) ===")
+    import json as _json
+    import threading
+    import urllib.request
+    from urllib.parse import quote
+
+    import jax.numpy as jnp
+
+    from lightningdot_tpu.config import EncoderConfig
+    from lightningdot_tpu.models import checkpoint_torch as ct
+    from lightningdot_tpu.models.bi_encoder import BiEncoder
+    from lightningdot_tpu.serving import Retriever, ranking_equivalent
+    from lightningdot_tpu.serving_native import serve_retriever
+
+    txt_cfg = EncoderConfig(vocab_size=28996, project_dim=768)
+    img_cfg = EncoderConfig(vocab_size=28996, img_dim=2048, project_dim=768)
+    model = BiEncoder(txt_cfg, img_cfg, compute_dtype=jnp.float32)
+    params = ct.load_biencoder_checkpoint(_p(spec["ckpt"]))
+
+    class _Tok:
+        def encode(self, text):
+            return ([101] + [106 + (hash(w) % 20000) for w in text.split()]
+                    + [102])
+
+    # one batch bucket: the 12 selftest queries coalesce to <=16 rows, so
+    # the warmup ladder stays at two cold f32 compiles instead of seven
+    retriever = Retriever(model, params, _Tok(), quantization="int8",
+                          weight_quantization="int8", batch_buckets=(16,))
+    rng = np.random.default_rng(7)
+    n = 256
+    retriever.set_corpus([f"img_{i:05d}" for i in range(n)],
+                         rng.standard_normal((n, 768)).astype(np.float32))
+    words = ("river bridge dog fountain market castle harbor tram "
+             "garden museum beach forest").split()
+    queries = [f"a photo of the {words[i]} at {'dawn dusk noon'.split()[i % 3]}"
+               f"{' with people' * (i % 2)}" for i in range(12)]
+    direct = retriever.retrieve_batch(queries, top=10)
+    out = [None] * len(queries)
+    with serve_retriever(retriever, max_top=10, warmup=True) as srv:
+        def fetch(i):
+            url = f"{srv.address}/search?q={quote(queries[i])}&top=10"
+            with urllib.request.urlopen(url, timeout=60) as r:
+                out[i] = _json.load(r)
+
+        threads = [threading.Thread(target=fetch, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = srv.stats()
+    for i, resp in enumerate(out):
+        if resp is None:
+            failures.append(("ldserve", i, "no response", None, None))
+            continue
+        # tie-aware: served batches coalesce differently than the direct
+        # call, so near-tied scores may legitimately swap (see
+        # serving.ranking_equivalent); any real divergence still fails
+        ok, why = ranking_equivalent(resp["results"], direct[i])
+        if not ok:
+            failures.append(("ldserve", i, why,
+                             resp["results"][:3], direct[i][:3]))
+    print(f"  ldserve: {stats['requests']} requests in {stats['batches']} "
+          f"device batches, {stats['errors']} errors; ranking-vs-direct: "
+          f"{'OK' if not any(f[0] == 'ldserve' for f in failures) else 'FAIL'}")
+    if stats["errors"]:
+        failures.append(("ldserve", "stats", "errors", stats["errors"], 0))
+    if failures:
+        print(json.dumps({"selftest_optional_path_failures": failures},
+                         default=str))
+        sys.exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser("reproduce_baseline")
     parser.add_argument("--data_root", default=".")
@@ -136,6 +253,7 @@ def main():
         return path if os.path.isabs(path) else f"{args.data_root}/{path}"
 
     failures = []
+    first_flat = None
     for name in args.configs:
         spec = expected[name]
         print(f"=== {name} ===")
@@ -151,6 +269,8 @@ def main():
             "--compute_dtype", args.compute_dtype,
         ])
         got = results["test"]
+        if first_flat is None:
+            first_flat = got
         # README.md:111-135 output format
         print(f"image retrieval recall = "
               f"{json.dumps(got['recall_txt'], default=float)}")
@@ -206,12 +326,15 @@ def main():
         print(f"  results.bin: {results_bin}")
 
     if args.selftest:
+        first = args.configs[0]
+        _selftest_optional_paths(first, expected[first], _p,
+                                 args.compute_dtype, first_flat)
         # random weights: recall deltas are expected; mechanics passing is
         # the selftest's contract
         print(f"selftest complete: {len(args.configs)} eval configs + "
-              f"rerank + teacher eval ran end to end "
-              f"({len(failures)} informational recall deltas, as expected "
-              "for random-init weights)")
+              f"rerank + teacher eval + hnsw stage-1 + native serving "
+              f"ran end to end ({len(failures)} informational recall "
+              "deltas, as expected for random-init weights)")
         return
     if failures:
         print(json.dumps({"failures": failures}, default=float))
